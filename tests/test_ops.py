@@ -1,0 +1,225 @@
+"""Numerical parity of foundation ops vs torch (reference L0 semantics)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from propainter_tpu.ops import (
+    grid_sample, flow_warp, bilinear_sampler, coords_grid, upflow8,
+    resize, avg_pool2d, max_pool2d, unfold, fold,
+)
+from tests.torch_ref import to_nchw, to_nhwc, torch_deform_conv2d
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+class TestGridSample:
+    @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+    @pytest.mark.parametrize("padding", ["zeros", "border"])
+    @pytest.mark.parametrize("align", [True, False])
+    def test_matches_torch(self, rng, mode, padding, align):
+        img = _rand(rng, 2, 13, 17, 3)
+        grid = (rng.uniform(-1.4, 1.4, (2, 9, 11, 2))).astype(np.float32)
+        ours = grid_sample(jnp.asarray(img), jnp.asarray(grid), mode=mode,
+                           padding_mode=padding, align_corners=align)
+        theirs = F.grid_sample(to_nchw(img), torch.from_numpy(grid), mode=mode,
+                               padding_mode=padding, align_corners=align)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_flow_warp_matches_reference_impl(self, rng):
+        # reference flow_warp = grid + flow normalized, align_corners=True
+        x = _rand(rng, 2, 12, 16, 4)
+        flow = 3.0 * _rand(rng, 2, 12, 16, 2)
+        ours = flow_warp(jnp.asarray(x), jnp.asarray(flow))
+
+        xt = to_nchw(x)
+        h, w = 12, 16
+        gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+        grid = torch.stack((gx, gy), 2).float()
+        gf = grid[None] + torch.from_numpy(flow)
+        gfx = 2.0 * gf[..., 0] / (w - 1) - 1.0
+        gfy = 2.0 * gf[..., 1] / (h - 1) - 1.0
+        theirs = F.grid_sample(xt, torch.stack((gfx, gfy), dim=3),
+                               mode="bilinear", padding_mode="zeros",
+                               align_corners=True)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bilinear_sampler_pixel_coords(self, rng):
+        img = _rand(rng, 3, 10, 14, 2)
+        coords = np.stack(
+            [rng.uniform(-2, 15, (3, 6, 7)), rng.uniform(-2, 11, (3, 6, 7))],
+            axis=-1,
+        ).astype(np.float32)
+        ours = bilinear_sampler(jnp.asarray(img), jnp.asarray(coords))
+        xg = 2 * torch.from_numpy(coords[..., 0]) / (14 - 1) - 1
+        yg = 2 * torch.from_numpy(coords[..., 1]) / (10 - 1) - 1
+        theirs = F.grid_sample(to_nchw(img), torch.stack([xg, yg], dim=-1),
+                               align_corners=True)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_coords_grid(self):
+        g = np.asarray(coords_grid(2, 3, 4))
+        assert g.shape == (2, 3, 4, 2)
+        assert g[0, 1, 2, 0] == 2 and g[0, 1, 2, 1] == 1
+
+    def test_upflow8(self, rng):
+        flow = _rand(rng, 1, 6, 8, 2)
+        ours = upflow8(jnp.asarray(flow))
+        theirs = 8 * F.interpolate(to_nchw(flow), size=(48, 64),
+                                   mode="bilinear", align_corners=True)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestResize:
+    @pytest.mark.parametrize("align", [True, False])
+    @pytest.mark.parametrize("size", [(24, 32), (5, 7), (13, 9)])
+    def test_bilinear(self, rng, align, size):
+        x = _rand(rng, 2, 12, 16, 3)
+        ours = resize(jnp.asarray(x), size, "bilinear", align_corners=align)
+        theirs = F.interpolate(to_nchw(x), size=size, mode="bilinear",
+                               align_corners=align)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("size", [(3, 4), (24, 32), (7, 5)])
+    def test_nearest(self, rng, size):
+        x = _rand(rng, 2, 12, 16, 3)
+        ours = resize(jnp.asarray(x), size, "nearest")
+        theirs = F.interpolate(to_nchw(x), size=size, mode="nearest")
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs))
+
+    def test_scale_quarter_matches_torch_scale_factor(self, rng):
+        # generator downsamples flows with scale_factor=1/4, align_corners=False
+        x = _rand(rng, 2, 16, 24, 2)
+        ours = resize(jnp.asarray(x), (4, 6), "bilinear", align_corners=False)
+        theirs = F.interpolate(to_nchw(x), scale_factor=0.25, mode="bilinear",
+                               align_corners=False)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_avg_pool(self, rng):
+        x = _rand(rng, 5, 8, 12, 2)
+        ours = avg_pool2d(jnp.asarray(x), 2, 2)
+        theirs = F.avg_pool2d(to_nchw(x), 2, 2)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_max_pool_padded(self, rng):
+        # InpaintGenerator.max_pool: k=(7,7) s=(3,3) p=(3,3)
+        x = np.abs(_rand(rng, 2, 60, 108, 1))
+        ours = max_pool2d(jnp.asarray(x), (7, 7), (3, 3), (3, 3))
+        theirs = F.max_pool2d(to_nchw(x), (7, 7), (3, 3), (3, 3))
+        assert ours.shape[1:3] == (20, 36)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs))
+
+    def test_max_pool_window(self, rng):
+        # SparseWindowAttention occupancy pool: k=win s=win p=0
+        x = np.abs(_rand(rng, 4, 20, 36, 1))
+        ours = max_pool2d(jnp.asarray(x), (5, 9), (5, 9), (0, 0))
+        theirs = F.max_pool2d(to_nchw(x), (5, 9), (5, 9), (0, 0))
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs))
+
+
+class TestUnfoldFold:
+    @pytest.mark.parametrize("cfg", [
+        ((7, 7), (3, 3), (3, 3), (60, 108)),   # soft split config
+        ((3, 3), (1, 1), (1, 1), (8, 8)),      # raft convex upsample config
+        ((5, 4), (2, 3), (1, 2), (17, 23)),    # odd config
+    ])
+    def test_unfold_matches_torch(self, rng, cfg):
+        k, s, p, hw = cfg
+        x = _rand(rng, 2, hw[0], hw[1], 5)
+        ours = unfold(jnp.asarray(x), k, s, p)
+        theirs = F.unfold(to_nchw(x), k, padding=p, stride=s)  # (B, C*kh*kw, L)
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.permute(0, 2, 1).numpy(), rtol=1e-6, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("cfg", [
+        ((7, 7), (3, 3), (3, 3), (60, 108)),
+        ((5, 4), (2, 3), (1, 2), (17, 23)),
+    ])
+    def test_fold_matches_torch(self, rng, cfg):
+        k, s, p, hw = cfg
+        from propainter_tpu.ops.patches import unfold_output_size
+        L = unfold_output_size(hw[0], k[0], s[0], p[0]) * unfold_output_size(
+            hw[1], k[1], s[1], p[1])
+        C = 3
+        y = _rand(rng, 2, L, C * k[0] * k[1])
+        ours = fold(jnp.asarray(y), hw, k, s, p)
+        yt = torch.from_numpy(y).permute(0, 2, 1)
+        theirs = F.fold(yt, output_size=hw, kernel_size=k, padding=p, stride=s)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fold_unfold_roundtrip_renorm(self, rng):
+        # FusionFeedForward overlap renormalization: fold(x)/fold(ones) then unfold
+        k, s, p, hw = (7, 7), (3, 3), (3, 3), (60, 108)
+        x = _rand(rng, 1, 20 * 36, 49)
+        ones = np.ones_like(x)
+        folded = fold(jnp.asarray(x), hw, k, s, p)
+        norm = fold(jnp.asarray(ones), hw, k, s, p)
+        out = unfold(folded / norm, k, s, p)
+        assert out.shape == (1, 20 * 36, 49)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDeformConv:
+    @pytest.mark.parametrize("dg,cin,cout", [(16, 64, 32), (4, 8, 8), (1, 4, 6)])
+    def test_matches_pure_torch_dcnv2(self, rng, dg, cin, cout):
+        from propainter_tpu.ops import modulated_deform_conv2d
+        B, H, W = 2, 9, 11
+        x = _rand(rng, B, H, W, cin)
+        offset = 2.5 * _rand(rng, B, H, W, dg, 9, 2)
+        mask = 1 / (1 + np.exp(-_rand(rng, B, H, W, dg, 9)))
+        w = _rand(rng, 3, 3, cin, cout) * 0.2
+        b = _rand(rng, cout)
+
+        ours = modulated_deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(w), jnp.asarray(b))
+
+        # torch layouts
+        xt = to_nchw(x)
+        # offset (B,H,W,dg,K,2)->(B, dg*K*2, H, W) interleaved
+        ot = torch.from_numpy(
+            np.moveaxis(offset.reshape(B, H, W, dg * 9 * 2), -1, 1).copy())
+        mt = torch.from_numpy(
+            np.moveaxis(mask.reshape(B, H, W, dg * 9), -1, 1).copy())
+        wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)).copy())
+        out_t = torch_deform_conv2d(xt, ot, wt, torch.from_numpy(b),
+                                    stride=1, padding=1, dilation=1, mask=mt)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(out_t),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestCorr:
+    def test_pyramid_and_lookup_match_reference(self, rng):
+        from propainter_tpu.ops import corr_pyramid, corr_lookup
+        from tests.torch_ref import import_reference_module
+        corr_mod = import_reference_module("RAFT.corr")
+
+        B, H, W, D = 2, 8, 16, 12
+        f1 = _rand(rng, B, H, W, D)
+        f2 = _rand(rng, B, H, W, D)
+        coords = np.stack(
+            [rng.uniform(0, W - 1, (B, H, W)), rng.uniform(0, H - 1, (B, H, W))],
+            axis=-1,
+        ).astype(np.float32)
+
+        pyr = corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=3)
+        ours = corr_lookup(pyr, jnp.asarray(coords), radius=3)
+
+        cb = corr_mod.CorrBlock(to_nchw(f1), to_nchw(f2), num_levels=3, radius=3)
+        coords_t = torch.from_numpy(np.moveaxis(coords, -1, 1).copy())
+        theirs = cb(coords_t)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-4, atol=1e-4)
