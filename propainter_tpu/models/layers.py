@@ -1,0 +1,129 @@
+"""Shared NN building blocks (NHWC / NDHWC, flax.linen).
+
+Module attribute names deliberately mirror the reference's torch attribute
+paths so the generic state-dict converter (convert/torch_to_jax.py) can map
+weights mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(features, kernel_size, stride=1, padding=0, groups=1, bias=True,
+           dilation=1, dtype=None, name=None) -> nn.Conv:
+    """nn.Conv configured with torch Conv2d conventions (NHWC, HWIO kernel).
+
+    Named inline (e.g. name='conv1') so the flax param path mirrors the torch
+    attribute path for mechanical weight conversion.
+    """
+    k = _pair(kernel_size)
+    s = _pair(stride)
+    p = _pair(padding)
+    d = _pair(dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=k,
+        strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        kernel_dilation=d,
+        feature_group_count=groups,
+        use_bias=bias,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Conv3d(nn.Module):
+    """3-D conv, NDHWC. kernel layout (kd, kh, kw, I, O).
+
+    padding is ((pd, pd), (ph, ph), (pw, pw)); `replicate` pads edge-mode
+    first then runs VALID (torch padding_mode='replicate').
+    """
+
+    features: int
+    kernel_size: tuple[int, int, int]
+    strides: tuple[int, int, int] = (1, 1, 1)
+    padding: tuple[int, int, int] = (0, 0, 0)
+    dilation: tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = True
+    replicate_pad: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel_size
+        in_feat = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (kd, kh, kw, in_feat, self.features),
+        )
+        pd, ph, pw = self.padding
+        if self.replicate_pad:
+            x = jnp.pad(
+                x,
+                ((0, 0), (pd, pd), (ph, ph), (pw, pw), (0, 0)),
+                mode="edge",
+            )
+            pad = "VALID"
+        else:
+            pad = [(pd, pd), (ph, ph), (pw, pw)]
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.strides,
+            padding=pad,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d, torch defaults: affine=False, eps=1e-5.
+
+    Normalizes each (sample, channel) over spatial dims of an NHWC tensor.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d in eval mode: running stats are parameters (converted from
+    the torch checkpoint) and never updated. RAFT's cnet uses this and is
+    frozen in the whole ProPainter pipeline (reference RAFT/raft.py:59-62)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias

@@ -1,0 +1,223 @@
+"""RAFT optical flow (big model) in JAX/flax, NHWC.
+
+TPU-native re-design of reference RAFT/raft.py, RAFT/extractor.py,
+RAFT/update.py, RAFT/corr.py:
+  * the 20-iteration GRU refinement is a `lax.scan` (via nn.scan), not a
+    Python loop — one compiled body regardless of iteration count;
+  * the correlation volume is one large MXU matmul + pooled pyramid, and the
+    radius-4 window lookup is a static gather (ops/corr.py);
+  * flow is (B, H, W, 2) with channels (dx, dy).
+
+Module/attribute names mirror the torch tree (fnet, cnet, update_block, ...)
+so convert/torch_to_jax.py maps the released `raft-things.pth` mechanically.
+RAFT is frozen in the whole ProPainter pipeline and always runs fp32
+(reference inference_propainter.py:311).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from propainter_tpu.models.layers import conv2d, InstanceNorm, FrozenBatchNorm
+from propainter_tpu.ops.corr import corr_pyramid, corr_lookup
+from propainter_tpu.ops.warp import coords_grid
+from propainter_tpu.ops.patches import unfold
+
+
+def _norm(norm_fn: str, features: int, name: str):
+    if norm_fn == "instance":
+        return InstanceNorm(name=name)
+    if norm_fn == "batch":
+        return FrozenBatchNorm(features, name=name)
+    if norm_fn == "none":
+        return lambda x: x
+    raise ValueError(norm_fn)
+
+
+class ResidualBlock(nn.Module):
+    """Reference RAFT/extractor.py:6-56."""
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = conv2d(self.planes, 3, self.stride, 1, name="conv1")(x)
+        y = jax.nn.relu(_norm(self.norm_fn, self.planes, "norm1")(y))
+        y = conv2d(self.planes, 3, 1, 1, name="conv2")(y)
+        y = jax.nn.relu(_norm(self.norm_fn, self.planes, "norm2")(y))
+        if self.stride != 1:
+            x = conv2d(self.planes, 1, self.stride, 0, name="downsample_0")(x)
+            x = _norm(self.norm_fn, self.planes, "downsample_1")(x)
+        return jax.nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """Stride-8 ResNet-style encoder. Reference RAFT/extractor.py:118-192."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv2d(64, 7, 2, 3, name="conv1")(x)
+        x = jax.nn.relu(_norm(self.norm_fn, 64, "norm1")(x))
+        for li, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)], start=1):
+            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{li}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{li}_1")(x)
+        return conv2d(self.output_dim, 1, 1, 0, name="conv2")(x)
+
+
+class BasicMotionEncoder(nn.Module):
+    """Reference RAFT/update.py:79-97. corr has levels*(2r+1)^2 channels."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = jax.nn.relu(conv2d(256, 1, 1, 0, name="convc1")(corr))
+        cor = jax.nn.relu(conv2d(192, 3, 1, 1, name="convc2")(cor))
+        flo = jax.nn.relu(conv2d(128, 7, 1, 3, name="convf1")(flow))
+        flo = jax.nn.relu(conv2d(64, 3, 1, 1, name="convf2")(flo))
+        out = jax.nn.relu(
+            conv2d(126, 3, 1, 1, name="conv")(jnp.concatenate([cor, flo], -1))
+        )
+        return jnp.concatenate([out, flow], -1)
+
+
+class SepConvGRU(nn.Module):
+    """1x5 then 5x1 separable GRU. Reference RAFT/update.py:33-60."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for suffix, k, p in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
+            hx = jnp.concatenate([h, x], -1)
+            z = jax.nn.sigmoid(
+                conv2d(self.hidden_dim, k, 1, p, name=f"convz{suffix}")(hx))
+            r = jax.nn.sigmoid(
+                conv2d(self.hidden_dim, k, 1, p, name=f"convr{suffix}")(hx))
+            q = jnp.tanh(
+                conv2d(self.hidden_dim, k, 1, p, name=f"convq{suffix}")(
+                    jnp.concatenate([r * h, x], -1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class FlowHead(nn.Module):
+    """Reference RAFT/update.py:6-14."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(conv2d(self.hidden_dim, 3, 1, 1, name="conv1")(x))
+        return conv2d(2, 3, 1, 1, name="conv2")(x)
+
+
+class BasicUpdateBlock(nn.Module):
+    """Reference RAFT/update.py:114-136."""
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion], -1)
+        net = SepConvGRU(name="gru")(net, gru_in)
+        delta_flow = FlowHead(name="flow_head")(net)
+        m = jax.nn.relu(conv2d(256, 3, 1, 1, name="mask_0")(net))
+        up_mask = 0.25 * conv2d(64 * 9, 1, 1, 0, name="mask_2")(m)
+        return net, up_mask, delta_flow
+
+
+class _UpdateStep(nn.Module):
+    """One scan step of the iterative refinement (carry-through params)."""
+
+    @nn.compact
+    def __call__(self, carry, _):
+        net, coords1, up_mask, inp, coords0, pyramid = carry
+        corr = corr_lookup(list(pyramid), coords1, radius=4)
+        flow = coords1 - coords0
+        net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
+            net, inp, corr, flow)
+        coords1 = coords1 + delta_flow
+        return (net, coords1, up_mask, inp, coords0, pyramid), None
+
+
+def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Convex-combination 8x flow upsampling. Reference RAFT/raft.py:73-84.
+
+    flow: (B, H, W, 2); mask: (B, H, W, 64*9) laid out (k, i, j) c-major as the
+    torch conv produces (view(N,1,9,8,8,H,W)).
+    """
+    B, H, W, _ = flow.shape
+    m = mask.reshape(B, H, W, 9, 8 * 8)
+    m = jax.nn.softmax(m, axis=3)
+    up = unfold(8.0 * flow, (3, 3), (1, 1), (1, 1))  # (B, H*W, 2*9)
+    up = up.reshape(B, H, W, 2, 9)
+    out = jnp.einsum("bhwck,bhwkm->bhwcm", up, m)  # (B, H, W, 2, 64)
+    out = out.reshape(B, H, W, 2, 8, 8)
+    out = out.transpose(0, 1, 4, 2, 5, 3)  # (B, H, 8, W, 8, 2)
+    return out.reshape(B, 8 * H, 8 * W, 2)
+
+
+class RAFT(nn.Module):
+    """RAFT-big: hdim=cdim=128, corr_levels=4, corr_radius=4.
+
+    __call__(image1, image2, iters) -> (flow_low, flow_up), both (B, h, w, 2):
+    flow_low at 1/8 resolution, flow_up at input resolution — matching
+    reference RAFT/raft.py:87-146 test_mode=True.
+    """
+
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int = 20):
+        image1 = image1.astype(jnp.float32)
+        image2 = image2.astype(jnp.float32)
+        fnet = BasicEncoder(256, "instance", name="fnet")
+        fmap1 = fnet(image1)
+        fmap2 = fnet(image2)
+        pyramid = tuple(corr_pyramid(fmap1, fmap2, self.corr_levels))
+
+        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
+                            name="cnet")(image1)
+        net = jnp.tanh(cnet[..., : self.hidden_dim])
+        inp = jax.nn.relu(cnet[..., self.hidden_dim :])
+
+        B, H8, W8, _ = net.shape
+        coords0 = coords_grid(B, H8, W8)
+        coords1 = coords_grid(B, H8, W8)
+        up_mask0 = jnp.zeros((B, H8, W8, 64 * 9), jnp.float32)
+
+        scan = nn.scan(
+            _UpdateStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )(name="scanned")
+        (net, coords1, up_mask, _, _, _), _ = scan(
+            (net, coords1, up_mask0, inp, coords0, pyramid), None)
+
+        flow_low = coords1 - coords0
+        flow_up = upsample_flow_convex(flow_low, up_mask)
+        return flow_low, flow_up
+
+
+def convert_raft_state_dict(sd) -> dict:
+    """Convert a torch RAFT state dict (raft-things.pth) to flax params."""
+    from propainter_tpu.convert.torch_to_jax import convert_state_dict
+
+    return convert_state_dict(
+        sd,
+        rename=[(r"^update_block\.", "scanned.update_block.")],
+        # ResidualBlock.norm3 is also registered as downsample.1 — keep the
+        # downsample copy, drop the duplicate attribute keys.
+        skip=[r"\.norm3\."],
+    )
