@@ -1,0 +1,84 @@
+"""Benchmark: end-to-end video inpainting throughput on one TPU chip.
+
+Measures the headline metric from BASELINE.json — inpainted frames/sec/chip
+at 432x240 on an 80-frame video with the reference's default settings
+(ref_stride=10, neighbor_length=10, subvideo_length=80, raft_iter=20,
+mask_dilation-style square mask). Weights are random (throughput does not
+depend on weight values).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+vs_baseline uses BASELINE_FPS = 10.0 frames/sec — an A100-class estimate for
+the reference at 432x240 (the repo publishes no latency numbers;
+scripts/evaluate_propainter.py measures ~0.1 s/frame-class times on datacenter
+GPUs). Revise when a measured A100 number is available.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 10.0
+T, H, W = 80, 240, 432
+
+
+def build_pipeline(precision: str):
+    import jax
+    import jax.numpy as jnp
+    from propainter_tpu.models.raft import RAFT
+    from propainter_tpu.models.flow_completion import RecurrentFlowCompleteNet
+    from propainter_tpu.models.propainter import InpaintGenerator
+    from propainter_tpu.pipeline import ProPainterPipeline, PipelineConfig
+
+    key = jax.random.PRNGKey(0)
+    raft_params = RAFT().init(
+        key, jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)), iters=1
+    )["params"]
+    flowcomp_params = RecurrentFlowCompleteNet().init(
+        key, jnp.zeros((1, 2, H, W, 2)), jnp.zeros((1, 2, H, W, 1)))["params"]
+    inpaint_params = InpaintGenerator().init(
+        key, jnp.zeros((1, 3, H, W, 3)),
+        (jnp.zeros((1, 1, H, W, 2)), jnp.zeros((1, 1, H, W, 2))),
+        jnp.zeros((1, 3, H, W, 1)), jnp.zeros((1, 3, H, W, 1)), 2)["params"]
+    return ProPainterPipeline(
+        raft_params, flowcomp_params, inpaint_params,
+        PipelineConfig(precision=precision))
+
+
+def make_inputs():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+    mask = np.zeros((T, H, W), np.uint8)
+    # moving square (mask_square.png-style video completion)
+    for t in range(T):
+        y = 60 + (t * 2) % 80
+        x = 120 + (t * 3) % 160
+        mask[t, y : y + 60, x : x + 80] = 1
+    return frames, mask
+
+
+def main():
+    pipe = build_pipeline("fp32")
+    frames, mask = make_inputs()
+
+    # warmup: compiles every stage executable
+    pipe.inpaint_video(frames, mask, mask)
+
+    t0 = time.perf_counter()
+    pipe.inpaint_video(frames, mask, mask)
+    dt = time.perf_counter() - t0
+
+    fps = T / dt
+    print(json.dumps({
+        "metric": "inpaint_fps_432x240_80f",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from propainter_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+)
