@@ -118,8 +118,39 @@ def install_fake_torchvision():
 
     ops.deform_conv2d = deform_conv2d
     tv.ops = ops
+
+    # minimal transforms shim (reference core/utils.py:15 imports it; only
+    # Compose is exercised by the code paths we test)
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    transforms.Compose = Compose
+    tv.transforms = transforms
+
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = transforms
+
+
+def install_fake_skimage():
+    """skimage isn't installed; reference core/metrics.py imports it at module
+    level (only the SSIM call actually uses it)."""
+    if "skimage" in sys.modules:
+        return
+    sk = types.ModuleType("skimage")
+    measure = types.ModuleType("skimage.measure")
+    measure.compare_ssim = None
+    sk.measure = measure
+    sys.modules["skimage"] = sk
+    sys.modules["skimage.measure"] = measure
 
 
 def add_reference_to_path():
@@ -130,6 +161,7 @@ def add_reference_to_path():
 def import_reference_module(name: str):
     """Import a module from the reference repo (with fake torchvision)."""
     install_fake_torchvision()
+    install_fake_skimage()
     add_reference_to_path()
     import importlib
 
