@@ -16,9 +16,12 @@ GPUs). Revise when a measured A100 number is available.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 BASELINE_FPS = 10.0
@@ -34,15 +37,24 @@ def build_pipeline(precision: str):
     from propainter_tpu.pipeline import ProPainterPipeline, PipelineConfig
 
     key = jax.random.PRNGKey(0)
-    raft_params = RAFT().init(
-        key, jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)), iters=1
-    )["params"]
-    flowcomp_params = RecurrentFlowCompleteNet().init(
-        key, jnp.zeros((1, 2, H, W, 2)), jnp.zeros((1, 2, H, W, 1)))["params"]
-    inpaint_params = InpaintGenerator().init(
-        key, jnp.zeros((1, 3, H, W, 3)),
-        (jnp.zeros((1, 1, H, W, 2)), jnp.zeros((1, 1, H, W, 2))),
-        jnp.zeros((1, 3, H, W, 1)), jnp.zeros((1, 3, H, W, 1)), 2)["params"]
+
+    def shapes_to_zeros(tree):
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+    # eval_shape: abstract init — no compile, no device work
+    raft_params = shapes_to_zeros(jax.eval_shape(
+        lambda: RAFT().init(key, jnp.zeros((1, H, W, 3)),
+                            jnp.zeros((1, H, W, 3)), iters=1))["params"])
+    flowcomp_params = shapes_to_zeros(jax.eval_shape(
+        lambda: RecurrentFlowCompleteNet().init(
+            key, jnp.zeros((1, 2, H, W, 2)),
+            jnp.zeros((1, 2, H, W, 1))))["params"])
+    inpaint_params = shapes_to_zeros(jax.eval_shape(
+        lambda: InpaintGenerator().init(
+            key, jnp.zeros((1, 3, H, W, 3)),
+            (jnp.zeros((1, 1, H, W, 2)), jnp.zeros((1, 1, H, W, 2))),
+            jnp.zeros((1, 3, H, W, 1)), jnp.zeros((1, 3, H, W, 1)),
+            2))["params"])
     return ProPainterPipeline(
         raft_params, flowcomp_params, inpaint_params,
         PipelineConfig(precision=precision))

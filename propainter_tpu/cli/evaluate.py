@@ -43,6 +43,9 @@ def build_argparser():
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--output", default="results_eval")
     p.add_argument("--max_videos", type=int, default=-1)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the 2nd video "
+                        "(post-compile) to DIR")
     return p
 
 
@@ -99,9 +102,16 @@ def main(argv=None):
         frames, masks = item["frames"], item["masks"]
         name = item["video_name"]
 
+        stage_times: dict = {}
+        profiling = args.profile and vi == 1  # 2nd video: compiles are warm
+        if profiling:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
-        comp = pipe.inpaint_video(frames, masks, masks)
+        comp = pipe.inpaint_video(frames, masks, masks, timings=stage_times)
         dt = time.perf_counter() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}")
         total_frames += len(frames)
         total_time += dt
 
@@ -123,8 +133,9 @@ def main(argv=None):
             from propainter_tpu.utils.video import write_frames
             write_frames(comp, os.path.join(out_dir, name))
 
+        stages = " ".join(f"{k}={v:.2f}s" for k, v in stage_times.items())
         msg = (f"[{vi + 1}/{n}] {name}: {len(frames)} frames, "
-               f"{dt / len(frames):.3f} s/frame")
+               f"{dt / len(frames):.3f} s/frame [{stages}]")
         if all_psnr:
             msg += f", psnr {np.mean(all_psnr):.4f}, ssim {np.mean(all_ssim):.4f}"
         print(msg, flush=True)

@@ -97,7 +97,8 @@ def main(argv=None):
         state, tx = init_flow_state(rng, tcfg, raft_params,
                                     sample_shape=(1, *sample_shape[1:]))
         step_fn = jax.jit(make_flow_train_step(
-            tcfg, tx, use_precomputed_flows=ds_cfg.load_flow))
+            tcfg, tx, raft_iters=int(train_args.get("raft_iters", 20)),
+            use_precomputed_flows=ds_cfg.load_flow))
     else:
         from propainter_tpu.core.trainer import (
             PropainterTrainConfig, init_propainter_state,
@@ -119,12 +120,24 @@ def main(argv=None):
             hole_weight=losses.get("hole_weight", 1.0),
             valid_weight=losses.get("valid_weight", 1.0),
             adversarial_weight=losses.get("adversarial_weight", 0.01),
+            perceptual_weight=losses.get("perceptual_weight", 0.0),
             use_discriminator=not config["model"].get("no_dis", False))
+        lpips_params = None
+        if tcfg.perceptual_weight > 0:
+            # reference core/trainer.py:66-69 gates LPIPS the same way
+            from propainter_tpu.models.vgg import convert_lpips_state_dict
+
+            lpips_params = convert_lpips_state_dict(
+                load_torch_checkpoint(config["model"]["lpips_path"]),
+                load_torch_checkpoint(config["model"]["vgg16_path"]))
         state, g_tx, d_tx = init_propainter_state(
             rng, tcfg, raft_params, flowcomp_params,
             sample_shape=(1, *sample_shape[1:]))
         step_fn = jax.jit(make_propainter_train_step(
-            tcfg, g_tx, d_tx, use_precomputed_flows=ds_cfg.load_flow))
+            tcfg, g_tx, d_tx,
+            raft_iters=int(train_args.get("raft_iters", 20)),
+            use_precomputed_flows=ds_cfg.load_flow,
+            lpips_params=lpips_params))
 
     # resume
     latest = ckpt.latest_step()
@@ -136,6 +149,12 @@ def main(argv=None):
     save_freq = int(train_args.get("save_freq", 10000))
     log_freq = int(train_args.get("log_freq", 100))
 
+    from propainter_tpu.utils.tb import MetricLogger
+    from propainter_tpu.utils.flow_viz import flow_to_image
+
+    tb = MetricLogger(os.path.join(save_dir, "logs"))
+    viz_freq = int(train_args.get("viz_freq", 200))
+
     t0 = time.time()
     start = int(np.asarray(state.step))
     for it in range(start, iterations):
@@ -143,16 +162,33 @@ def main(argv=None):
         batch = jax.tree.map(
             lambda x: jax.device_put(x, batch_sharding), batch)
         with mesh:
-            state, metrics = step_fn(state, batch)
+            state, metrics, viz = step_fn(state, batch)
+        for k, v in metrics.items():
+            tb.add(f"loss/{k}", v)
         if (it + 1) % log_freq == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = tb.flush_scalars(it + 1)
             rate = (it + 1 - start) / (time.time() - t0)
             logging.info("iter %d %s %.2f it/s", it + 1, m, rate)
-            print(f"[{it + 1}/{iterations}] {m} ({rate:.2f} it/s)",
-                  flush=True)
+            print(f"[{it + 1}/{iterations}] "
+                  f"{ {k: round(v, 4) for k, v in m.items()} } "
+                  f"({rate:.2f} it/s)", flush=True)
+        if (it + 1) % viz_freq == 0:
+            # image/flow grids (reference core/trainer.py:449-478)
+            v = {k: np.asarray(x) for k, x in viz.items()}
+            for key in ("comp_local", "masked_local", "gt_local"):
+                if key in v:
+                    tb.add_images(f"img/{key}", (v[key][0] + 1) / 2, it + 1)
+            for key in ("pred_flow_f", "gt_flow_f"):
+                if key in v:
+                    tb.add_images(f"flow/{key}",
+                                  flow_to_image(v[key][0]), it + 1)
+            if "pred_edge_f" in v:
+                tb.add_images("img/pred_edge_f",
+                              np.repeat(v["pred_edge_f"][0], 3, -1), it + 1)
         if (it + 1) % save_freq == 0:
             ckpt.save(it + 1, jax.device_get(state))
     loader.stop()
+    tb.close()
     print("End training.")
 
 

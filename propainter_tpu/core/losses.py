@@ -62,6 +62,70 @@ def adversarial_d_loss(real_logits, fake_logits, gan_type: str = "hinge"):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual losses (VGG / LPIPS)
+# ---------------------------------------------------------------------------
+
+
+def perceptual_loss(vgg_apply, layer_weights: dict, x, gt,
+                    criterion: str = "l1", style_weight: float = 0.0):
+    """Layer-weighted VGG perceptual (+ optional gram style) loss.
+    Reference core/loss.py:6-114 (PerceptualLoss.forward).
+
+    Args:
+      vgg_apply: fn(images (B,H,W,3)) -> {layer_name: (B,h,w,c)} — a bound
+        VGGFeatureExtractor.apply.
+      layer_weights: {layer_name: weight}.
+    Returns (percep_loss, style_loss) — style_loss is None if weight == 0.
+    """
+    xf = vgg_apply(x)
+    gf = jax.tree.map(jax.lax.stop_gradient, vgg_apply(gt))
+
+    def crit(a, b):
+        if criterion == "l1":
+            return jnp.mean(jnp.abs(a - b))
+        if criterion in ("l2", "mse"):
+            return jnp.mean(jnp.square(a - b))
+        if criterion == "fro":
+            return jnp.linalg.norm((a - b).reshape(-1))
+        raise ValueError(criterion)
+
+    percep = sum(crit(xf[k], gf[k]) * w for k, w in layer_weights.items())
+
+    style = None
+    if style_weight > 0:
+        def gram(f):
+            b, h, w, c = f.shape
+            f2 = f.reshape(b, h * w, c)
+            return jnp.einsum("bnc,bnd->bcd", f2, f2) / (c * h * w)
+
+        style = sum(
+            crit(gram(xf[k]), gram(gf[k])) * w
+            for k, w in layer_weights.items()) * style_weight
+    return percep, style
+
+
+def lpips_loss(lpips_apply, pred, gt, loss_weight: float = 1.0,
+               use_input_norm: bool = True, range_norm: bool = True):
+    """LPIPS distance, averaged over the batch. Reference core/loss.py:116-141.
+
+    Faithfully reproduces the reference's LPIPSLoss(use_input_norm=True,
+    range_norm=True): [-1,1] inputs are mapped to [0,1] then ImageNet
+    normalized *before* the lpips net (which applies its own scaling layer on
+    top — a reference quirk we keep for parity). lpips_apply is a bound
+    LPIPSVgg.apply.
+    """
+    if range_norm:
+        pred = (pred + 1.0) / 2.0
+        gt = (gt + 1.0) / 2.0
+    if use_input_norm:
+        mean = jnp.asarray([0.485, 0.456, 0.406], pred.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], pred.dtype)
+        pred = (pred - mean) / std
+        gt = (gt - mean) / std
+    return loss_weight * jnp.mean(lpips_apply(pred, jax.lax.stop_gradient(gt)))
+
+
+# ---------------------------------------------------------------------------
 # Flow-completion losses
 # ---------------------------------------------------------------------------
 

@@ -38,9 +38,40 @@ def multistep_lr(base_lr: float, milestones: dict[int, float]) -> optax.Schedule
     return optax.piecewise_constant_schedule(base_lr, milestones)
 
 
+def cosine_annealing_restart_lr(
+    base_lr: float, periods: list[int],
+    restart_weights: list[float] | None = None,
+    eta_min: float = 1e-7) -> optax.Schedule:
+    """CosineAnnealingRestartLR analogue (core/lr_scheduler.py:68-112):
+    cosine decay to eta_min within each period, restarting at weight w_i."""
+    restart_weights = restart_weights or [1.0] * len(periods)
+    assert len(periods) == len(restart_weights)
+    starts = np.cumsum([0] + periods[:-1]).tolist()
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        lr = jnp.full_like(step, eta_min, jnp.float32)
+        for start, period, w in zip(starts, periods, restart_weights):
+            frac = jnp.clip((step - start) / period, 0.0, 1.0)
+            val = eta_min + 0.5 * w * (base_lr - eta_min) * (
+                1 + jnp.cos(jnp.pi * frac))
+            lr = jnp.where(step >= start, val, lr)
+        return lr
+
+    return schedule
+
+
 def make_optimizer(lr: float, milestones: dict[int, float] | None = None,
-                   b1: float = 0.0, b2: float = 0.99) -> optax.GradientTransformation:
-    sched = multistep_lr(lr, milestones or {})
+                   b1: float = 0.0, b2: float = 0.99,
+                   scheduler: str = "multistep",
+                   periods: list[int] | None = None,
+                   restart_weights: list[float] | None = None,
+                   ) -> optax.GradientTransformation:
+    if scheduler == "cosine":
+        sched = cosine_annealing_restart_lr(
+            lr, periods or [250_000, 250_000], restart_weights)
+    else:
+        sched = multistep_lr(lr, milestones or {})
     return optax.adam(sched, b1=b1, b2=b2)
 
 
@@ -68,6 +99,9 @@ class PropainterTrainConfig:
     gan_type: str = "hinge"
     use_discriminator: bool = True
     interp_mode: str = "nearest"
+    # LPIPS perceptual loss (reference core/trainer.py:66-69,414-418;
+    # configured off by default per configs/train_propainter.json:20)
+    perceptual_weight: float = 0.0
 
 
 def init_propainter_state(
@@ -107,18 +141,31 @@ def init_propainter_state(
 def make_propainter_train_step(
     config: PropainterTrainConfig, g_tx, d_tx,
     raft_iters: int = 20, use_precomputed_flows: bool = False,
+    lpips_params=None,
 ) -> Callable:
     """Build the jittable ProPainter GAN train step.
 
     batch: dict(frames (B,T,H,W,3) in [-1,1], masks (B,T,H,W,1),
                 [flows_f/flows_b (B,l_t-1,H,W,2) if precomputed]).
     Mirrors reference core/trainer.py:350-445.
+
+    lpips_params: LPIPSVgg params (required iff perceptual_weight > 0;
+    reference core/trainer.py:66-69 builds LPIPSLoss under the same gate).
     """
     gen = InpaintGenerator()
     dis = Discriminator(in_channels=3)
     raft = RAFT()
     flowcomp = RecurrentFlowCompleteNet()
     l_t = config.num_local_frames
+    if config.perceptual_weight > 0:
+        if lpips_params is None:
+            raise ValueError("perceptual_weight > 0 requires lpips_params")
+        from propainter_tpu.models.vgg import LPIPSVgg
+
+        lpips_net = LPIPSVgg()
+
+        def lpips_apply(a, b):
+            return lpips_net.apply({"params": lpips_params}, a, b)
 
     def train_step(state: PropainterTrainState, batch):
         frames = batch["frames"]
@@ -172,6 +219,14 @@ def make_propainter_train_step(
                 pred_imgs, frames, masks,
                 config.hole_weight, config.valid_weight)
             metrics = {"hole_loss": hole, "valid_loss": valid}
+            if config.perceptual_weight > 0:
+                # reference core/trainer.py:414-417: LPIPS(pred, frames)
+                perc = L.lpips_loss(
+                    lpips_apply, pred_imgs.reshape(-1, H, W, 3),
+                    frames.reshape(-1, H, W, 3),
+                    loss_weight=config.perceptual_weight)
+                total = total + perc
+                metrics["perc_loss"] = perc
             if config.use_discriminator:
                 fake_logits = dis.apply(
                     {"params": state.dis_params,
@@ -216,7 +271,15 @@ def make_propainter_train_step(
             step=state.step + 1,
             gen_params=gen_params, gen_opt=gen_opt,
             dis_params=dis_params, dis_stats=dis_stats, dis_opt=dis_opt)
-        return new_state, metrics
+        # viz arrays stay on device; the CLI only fetches them at viz_freq
+        # (reference core/trainer.py:449-478 logs image/flow grids)
+        viz = {
+            "comp_local": comp_imgs[:1, :l_t],
+            "masked_local": masked_frames[:1, :l_t],
+            "gt_local": gt_local[:1],
+            "pred_flow_f": pred_flows_bi[0][:1],
+        }
+        return new_state, metrics, viz
 
     return train_step
 
@@ -310,14 +373,18 @@ def make_flow_train_step(config: FlowTrainConfig, tx, raft_iters: int = 20,
             el = L.edge_loss(pred_edges_bi, gt_edges_bi, local_masks)
             total = (config.flow_weight * fl + config.warp_weight * warp
                      + config.edge_weight * el)
-            return total, {"flow_loss": fl, "warp_loss": warp,
-                           "edge_loss": el}
+            return total, ({"flow_loss": fl, "warp_loss": warp,
+                            "edge_loss": el},
+                           {"pred_flow_f": pred_flows_bi[0][:1],
+                            "gt_flow_f": gt_flows_bi[0][:1],
+                            "pred_edge_f": pred_edges_bi[0][:1]})
 
-        (loss, metrics), grads = jax.value_and_grad(
+        (loss, (metrics, viz)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt = tx.update(grads, state.opt, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss
-        return state.replace(step=state.step + 1, params=params, opt=opt), metrics
+        return (state.replace(step=state.step + 1, params=params, opt=opt),
+                metrics, viz)
 
     return train_step

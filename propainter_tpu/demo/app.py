@@ -1,0 +1,118 @@
+"""Gradio object-removal app (reference web-demos/hugging_face/app.py).
+
+3-step flow: upload & extract frames -> click to segment the first frame ->
+track + inpaint with sliders for resize ratio / dilate radius / raft iters /
+subvideo length / neighbor length / ref stride (the reference's
+inpaint_video controls, app.py:264-296).
+
+Requires `gradio` (not bundled in the TPU image); the module degrades to a
+clear error message so the rest of the package never depends on it.
+
+Run: python -m propainter_tpu.demo.app --weights weights
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_app(facade):
+    import gradio as gr
+
+    state = {"frames": [], "points": [], "labels": [], "mask": None}
+
+    def extract_frames(video_path):
+        from propainter_tpu.utils.video import read_frames
+
+        frames, fps, _, _ = read_frames(video_path)
+        state["frames"] = [np.asarray(f) for f in frames]
+        state["fps"] = fps or 24
+        state["points"], state["labels"] = [], []
+        return state["frames"][0], f"{len(state['frames'])} frames @ {fps} fps"
+
+    def on_click(point_type, evt: "gr.SelectData"):
+        x, y = evt.index
+        state["points"].append([x, y])
+        state["labels"].append(1 if point_type == "foreground" else 0)
+        mask, _, painted = facade.first_frame_click(
+            state["frames"][0], np.array(state["points"]),
+            np.array(state["labels"]))
+        state["mask"] = mask
+        return painted
+
+    def clear_clicks():
+        state["points"], state["labels"] = [], []
+        return state["frames"][0] if state["frames"] else None
+
+    def track_and_inpaint(ratio, dilate, raft_iter, subvideo, neighbor,
+                          ref_stride):
+        masks, _, _ = facade.generator(state["frames"], state["mask"])
+        out = facade.inpaint(
+            np.stack(state["frames"]), np.stack(masks), ratio=ratio,
+            dilate_radius=int(dilate), raft_iter=int(raft_iter),
+            subvideo_length=int(subvideo), neighbor_length=int(neighbor),
+            ref_stride=int(ref_stride))
+        import imageio, tempfile, os
+
+        path = os.path.join(tempfile.mkdtemp(), "inpaint_out.mp4")
+        imageio.mimwrite(path, list(out), fps=state["fps"], quality=7)
+        return path
+
+    with gr.Blocks() as app:
+        gr.Markdown("## ProPainter-TPU — interactive object removal")
+        with gr.Row():
+            video_in = gr.Video(label="input video")
+            first_frame = gr.Image(label="first frame (click the object)")
+        status = gr.Textbox(label="status")
+        point_type = gr.Radio(["foreground", "background"],
+                              value="foreground", label="click type")
+        clear_btn = gr.Button("clear clicks")
+        with gr.Row():
+            ratio = gr.Slider(0.1, 1.0, 1.0, label="resize ratio")
+            dilate = gr.Slider(0, 16, 8, step=1, label="mask dilation")
+            raft_iter = gr.Slider(1, 40, 20, step=1, label="RAFT iterations")
+        with gr.Row():
+            subvideo = gr.Slider(10, 200, 80, step=1, label="subvideo length")
+            neighbor = gr.Slider(2, 40, 10, step=1, label="neighbor length")
+            ref_stride = gr.Slider(2, 40, 10, step=1, label="ref stride")
+        run_btn = gr.Button("Track & Inpaint")
+        video_out = gr.Video(label="inpainted")
+
+        video_in.upload(extract_frames, video_in, [first_frame, status])
+        first_frame.select(on_click, point_type, first_frame)
+        clear_btn.click(clear_clicks, None, first_frame)
+        run_btn.click(track_and_inpaint,
+                      [ratio, dilate, raft_iter, subvideo, neighbor,
+                       ref_stride], video_out)
+    return app
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="weights")
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        raise SystemExit(
+            "gradio is not installed in this environment. The demo's "
+            "programmatic API is available without it:\n"
+            "  from propainter_tpu.demo import TrackingFacade\n"
+            "  facade = TrackingFacade(params)\n"
+            "  mask, _, _ = facade.first_frame_click(frame, points, labels)\n"
+            "  masks, _, _ = facade.generator(frames, mask)\n"
+            "  out = facade.inpaint(frames, masks)")
+
+    from propainter_tpu.cli.inference import load_params
+    from propainter_tpu.demo.tracking import TrackingFacade
+
+    facade = TrackingFacade(load_params(args.weights))
+    build_app(facade).launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

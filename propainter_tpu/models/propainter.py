@@ -364,16 +364,22 @@ class TemporalSparseTransformerBlock(nn.Module):
     depths: int = 8
 
     @nn.compact
-    def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2):
+    def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2,
+                 frame_valid=None):
         assert self.depths % t_dilation == 0
         T = x.shape[1]
         for i in range(self.depths):
             sel = np.zeros(T, np.bool_)
             sel[i % t_dilation :: t_dilation] = True
+            sel_arr = jnp.asarray(sel)
+            if frame_valid is not None:
+                # padded (invalid) frames contribute no attention keys —
+                # makes fixed-shape ref padding numerically exact
+                sel_arr = sel_arr & frame_valid
             x = TemporalSparseTransformer(
                 self.dim, self.n_head, self.window_size, self.pool_size,
                 name=f"transformer_{i}")(
-                    x, fold_x_size, l_mask, jnp.asarray(sel))
+                    x, fold_x_size, l_mask, sel_arr)
         return x
 
 
@@ -574,7 +580,7 @@ class InpaintGenerator(nn.Module):
     @nn.compact
     def __call__(self, masked_frames, completed_flows, masks_in,
                  masks_updated, num_local_frames: int, train: bool = False,
-                 t_dilation: int = 2):
+                 t_dilation: int = 2, frame_valid=None):
         """
         Args:
           masked_frames: (B, T, H, W, 3) in [-1, 1] (holes already updated by
@@ -583,6 +589,10 @@ class InpaintGenerator(nn.Module):
           masks_in:      (B, T, H, W, 1) original dilated masks.
           masks_updated: (B, T, H, W, 1) masks after image propagation.
           num_local_frames: l_t (static).
+          frame_valid: optional (T,) bool — False marks padded reference
+            frames (used by the pipeline to keep window shapes static);
+            padded frames get no attention keys, so results for valid frames
+            are identical to running without padding.
         Returns:
           (B, l_t, H, W, 3) in [-1, 1] (train: (B, T, H, W, 3)).
         """
@@ -636,7 +646,8 @@ class InpaintGenerator(nn.Module):
         trans_feat = TemporalSparseTransformerBlock(
             self.hidden, self.num_heads, self.window_size, self.pool_size,
             self.depths, name="transformers")(
-                trans_feat, fold_feat_size, mask_pool_l, t_dilation)
+                trans_feat, fold_feat_size, mask_pool_l, t_dilation,
+                frame_valid)
         trans_feat = SoftComp(self.channel, name="sc")(
             trans_feat, T, fold_feat_size)
         trans_feat = trans_feat.reshape(B, T, h, w, c)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from propainter_tpu.models.layers import conv2d, InstanceNorm, FrozenBatchNorm
-from propainter_tpu.ops.corr import corr_pyramid, corr_lookup
+from propainter_tpu.ops.corr import corr_pyramid, corr_lookup, corr_lookup_mxu
 from propainter_tpu.ops.warp import coords_grid
 from propainter_tpu.ops.patches import unfold
 
@@ -139,7 +139,9 @@ class _UpdateStep(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         net, coords1, up_mask, inp, coords0, pyramid = carry
-        corr = corr_lookup(list(pyramid), coords1, radius=4)
+        # MXU matmul formulation of the radius-4 window lookup — gathers are
+        # slow on TPU (reference RAFT/corr.py:29-49 semantics preserved)
+        corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
         flow = coords1 - coords0
         net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
             net, inp, corr, flow)

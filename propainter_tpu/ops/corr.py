@@ -72,3 +72,50 @@ def corr_lookup(
         sampled = bilinear_sampler(corr, coords_lvl)  # (BHW, n, n, 1)
         outs.append(sampled.reshape(B, H, W, n * n))
     return jnp.concatenate(outs, axis=-1)
+
+
+def _interp_matrix(t: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Rows of bilinear interpolation weights: M[..., k, s] = max(0, 1-|t_k - s|).
+
+    Sampling `v[s] @ M[k]` equals zeros-padded bilinear interpolation of v at
+    position t_k (out-of-range positions get partial/zero weight — identical
+    to grid_sample's zeros padding in pixel space).
+    """
+    s = jax.lax.broadcasted_iota(jnp.float32, (size,), 0)
+    return jax.nn.relu(1.0 - jnp.abs(t[..., None] - s))
+
+
+def corr_lookup_mxu(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """`corr_lookup` as matmuls instead of gathers (TPU-native formulation).
+
+    Bilinear window sampling is separable: out[n, i, j] =
+    sum_{h,w} Sy[n,j,h] * corr[n,h,w] * Sx[n,i,w], where Sy/Sx are per-row
+    interpolation matrices built from iota comparisons. Everything runs on
+    the MXU/VPU — no gather, no dynamic shapes. Numerically identical to
+    `corr_lookup` (reference RAFT/corr.py:29-49 semantics, including the
+    x-major window ordering).
+    """
+    B, H, W, _ = coords.shape
+    r = radius
+    n = 2 * r + 1
+    N = B * H * W
+    cx = coords[..., 0].reshape(N).astype(jnp.float32)
+    cy = coords[..., 1].reshape(N).astype(jnp.float32)
+    d = jnp.linspace(-r, r, n, dtype=jnp.float32)
+
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        Hc, Wc = corr.shape[1:3]
+        ty = cy[:, None] / (2.0 ** lvl) + d[None, :]  # (N, n)
+        tx = cx[:, None] / (2.0 ** lvl) + d[None, :]
+        Sy = _interp_matrix(ty, Hc)  # (N, n, Hc)
+        Sx = _interp_matrix(tx, Wc)  # (N, n, Wc)
+        c = corr.reshape(N, Hc, Wc)
+        tmp = jnp.einsum("njh,nhw->njw", Sy, c,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("niw,njw->nij", Sx, tmp,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(B, H, W, n * n))
+    return jnp.concatenate(outs, axis=-1)

@@ -90,6 +90,99 @@ def modulated_deform_conv2d(
     return out
 
 
+def modulated_deform_conv2d_mxu(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    row_chunk: int = 8,
+) -> jnp.ndarray:
+    """`modulated_deform_conv2d` with the bilinear gather expressed as
+    separable interpolation matmuls (MXU) instead of gathers (slow on TPU).
+
+    For each (deform group g, tap k), sampling x_g at positions (sy, sx) is
+      val[j] = Sy[j, :] @ x_g @ Sx[j, :]^T,
+    with Sy/Sx per-position bilinear one-hot rows built from iota compares —
+    exactly zeros-padded bilinear (same semantics as the gather version,
+    torchvision deform_conv2d). Output rows are processed in chunks to bound
+    the Sy/Sx memory. stride=1, padding=1, dilation=1 (all the reference's
+    deform convs — model/propainter.py:34-69,
+    model/recurrent_flow_completion.py:9-44).
+    """
+    B, H, W, C = x.shape
+    kh, kw, Cw, O = weight.shape
+    assert Cw == C
+    K = kh * kw
+    _, Ho, Wo, dg, Koff, _ = offset.shape
+    assert Koff == K and Ho == H and Wo == W
+    Cg = C // dg
+
+    # base tap positions (stride 1, pad 1, dil 1)
+    ky = jnp.arange(kh, dtype=x.dtype) - 1.0
+    kx = jnp.arange(kw, dtype=x.dtype) - 1.0
+    py = (jnp.arange(Ho, dtype=x.dtype)[:, None, None]
+          + jnp.broadcast_to(ky[:, None], (kh, kw)).reshape(-1))  # (Ho,1,K)
+    px = (jnp.arange(Wo, dtype=x.dtype)[None, :, None]
+          + jnp.broadcast_to(kx[None, :], (kh, kw)).reshape(-1))  # (1,Wo,K)
+
+    sy = py[None, :, :, None, :] + offset[..., 0]  # (B, Ho, Wo, dg, K)
+    sx = px[None, :, :, None, :] + offset[..., 1]
+
+    x_g = x.reshape(B, H, W, dg, Cg).transpose(0, 3, 1, 2, 4)  # (B,dg,H,W,Cg)
+    x_flat = x_g.reshape(B * dg, H, W * Cg)
+
+    iot_h = jax.lax.broadcasted_iota(x.dtype, (H,), 0)
+    iot_w = jax.lax.broadcasted_iota(x.dtype, (W,), 0)
+
+    n_chunks = -(-Ho // row_chunk)
+    pad_rows = n_chunks * row_chunk - Ho
+    if pad_rows:
+        sy = jnp.pad(sy, ((0, 0), (0, pad_rows), (0, 0), (0, 0), (0, 0)),
+                     constant_values=-2.0)  # out of range -> zero weights
+        sx = jnp.pad(sx, ((0, 0), (0, pad_rows), (0, 0), (0, 0), (0, 0)),
+                     constant_values=-2.0)
+    # (n_chunks, B*dg, K, rc*Wo) position layout
+    def to_chunks(s):
+        s = s.transpose(1, 0, 3, 4, 2)  # (Ho', B, dg, K, Wo)
+        s = s.reshape(n_chunks, row_chunk, B, dg, K, Wo)
+        s = s.transpose(0, 2, 3, 4, 1, 5)  # (n, B, dg, K, rc, Wo)
+        return s.reshape(n_chunks, B * dg, K, row_chunk * Wo)
+
+    sy_c = to_chunks(sy)
+    sx_c = to_chunks(sx)
+
+    def chunk_fn(args):
+        syk, sxk = args  # (B*dg, K, P) with P = rc*Wo
+        Sy = jax.nn.relu(1.0 - jnp.abs(syk[..., None] - iot_h))  # (BG,K,P,H)
+        Sx = jax.nn.relu(1.0 - jnp.abs(sxk[..., None] - iot_w))  # (BG,K,P,W)
+        # row interp: (BG,K,P,H) @ (BG,H,W*Cg) -> (BG,K,P,W*Cg)
+        tmp = jnp.einsum("gkph,ghw->gkpw", Sy, x_flat,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        tmp = tmp.reshape(B * dg, K, row_chunk * Wo, W, Cg)
+        # col interp: elementwise reduce over W
+        val = jnp.einsum("gkpw,gkpwc->gkpc", Sx, tmp,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        return val  # (BG, K, P, Cg)
+
+    vals = jax.lax.map(chunk_fn, (sy_c, sx_c))  # (n, BG, K, P, Cg)
+    vals = vals.reshape(n_chunks, B, dg, K, row_chunk, Wo, Cg)
+    vals = vals.transpose(1, 0, 4, 5, 2, 3, 6)  # (B, n, rc, Wo, dg, K, Cg)
+    vals = vals.reshape(B, n_chunks * row_chunk, Wo, dg, K, Cg)
+    if pad_rows:
+        vals = vals[:, :Ho]
+
+    sampled = vals * mask[..., None]  # mask (B, Ho, Wo, dg, K)
+    # -> (B, Ho, Wo, K, dg, Cg) -> (B, Ho, Wo, K*C); channel = g*Cg + cg
+    sampled = sampled.transpose(0, 1, 2, 4, 3, 5).reshape(B, Ho, Wo, K * C)
+    w = weight.reshape(K, C, O).reshape(K * C, O)
+    out = jnp.einsum("bhwk,ko->bhwo", sampled, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _bilinear_gather_zeros(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample img (B,H,W,C) at pixel coords y/x (B,...), zeros outside."""
     B, H, W, C = img.shape

@@ -16,8 +16,6 @@ C-major, kernel-minor, i.e. index = c*(kh*kw) + i*kw + j.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -58,28 +56,6 @@ def unfold(
     return g.reshape(B, Ho * Wo, C * kh * kw)
 
 
-@functools.lru_cache(maxsize=None)
-def _fold_fn(output_size, kernel_size, stride, padding, C, B, dtype_name):
-    """Cached transpose-of-unfold closure for a given static config."""
-    H, W = output_size
-    kh, kw = kernel_size
-    Ho = unfold_output_size(H, kh, stride[0], padding[0])
-    Wo = unfold_output_size(W, kw, stride[1], padding[1])
-    dtype = jnp.dtype(dtype_name)
-
-    def _unfold(x):
-        return unfold(x, kernel_size, stride, padding)
-
-    x_spec = jax.ShapeDtypeStruct((B, H, W, C), dtype)
-    transpose = jax.linear_transpose(_unfold, x_spec)
-
-    def _fold(y):
-        (out,) = transpose(y)
-        return out
-
-    return _fold, (Ho, Wo)
-
-
 def fold(
     y: jnp.ndarray,
     output_size: tuple[int, int],
@@ -89,16 +65,33 @@ def fold(
 ) -> jnp.ndarray:
     """Combine sliding local patches by summation (torch F.fold semantics).
 
+    Implemented as the explicit adjoint of `unfold` (two static scatter-adds,
+    the transpose of its two static gathers) — torch's fold *is* the adjoint
+    of unfold, so this matches bit-for-bit up to fp addition order.
+
     Args:
       y: (B, L, C*kh*kw) in torch channel ordering.
     Returns:
       (B, H, W, C) with overlapping patch contributions summed.
     """
     B, L, CK = y.shape
+    H, W = output_size
     kh, kw = kernel_size
+    sh, sw = stride
+    ph, pw = padding
     C = CK // (kh * kw)
-    fold_impl, _ = _fold_fn(
-        tuple(output_size), tuple(kernel_size), tuple(stride), tuple(padding),
-        C, B, jnp.result_type(y).name,
-    )
-    return fold_impl(y)
+    Ho = unfold_output_size(H, kh, sh, ph)
+    Wo = unfold_output_size(W, kw, sw, pw)
+    assert L == Ho * Wo, (L, Ho, Wo)
+
+    g = y.reshape(B, Ho, Wo, C, kh, kw)
+    g = g.transpose(0, 1, 4, 2, 5, 3)  # (B, Ho, kh, Wo, kw, C)
+    g = g.reshape(B, Ho * kh, Wo * kw, C)
+
+    row_idx = (jnp.arange(Ho)[:, None] * sh + jnp.arange(kh)[None, :]).reshape(-1)
+    col_idx = (jnp.arange(Wo)[:, None] * sw + jnp.arange(kw)[None, :]).reshape(-1)
+    tmp = jnp.zeros((B, Ho * kh, W + 2 * pw, C), y.dtype)
+    tmp = tmp.at[:, :, col_idx].add(g)
+    out = jnp.zeros((B, H + 2 * ph, W + 2 * pw, C), y.dtype)
+    out = out.at[:, row_idx].add(tmp)
+    return out[:, ph : ph + H, pw : pw + W]

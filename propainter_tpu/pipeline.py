@@ -89,6 +89,16 @@ class ProPainterPipeline:
         self.inpaint_params = inpaint_params
         self._dtype = (jnp.bfloat16 if self.config.precision == "bf16"
                        else jnp.float32)
+        if self._dtype != jnp.float32:
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(self._dtype)
+                if a.dtype == jnp.float32 else a, t)
+            # RAFT stays fp32 (reference inference_propainter.py:311)
+            self._flowcomp_params_c = cast(flowcomp_params)
+            self._inpaint_params_c = cast(inpaint_params)
+        else:
+            self._flowcomp_params_c = flowcomp_params
+            self._inpaint_params_c = inpaint_params
 
         self._raft_bi = jax.jit(self._raft_bi_fn, static_argnames=("iters",))
         self._complete_flow = jax.jit(self._complete_flow_fn)
@@ -122,8 +132,8 @@ class ProPainterPipeline:
         masks = flow_masks.astype(dt)
 
         def apply_fn(mf, mk, train):
-            return self.flowcomp.apply({"params": self.flowcomp_params},
-                                       mf, mk, train)
+            return self.flowcomp.apply(
+                {"params": self._flowcomp_params_c}, mf, mk, train)
 
         pred, _ = forward_bidirect_flow(apply_fn, flows, masks)
         return combine_flow(flows, pred, masks)
@@ -142,16 +152,17 @@ class ProPainterPipeline:
         return updated_frames, updated
 
     def _generate_fn(self, selected_imgs, flows_f, flows_b, selected_masks,
-                     selected_update_masks, l_t: int):
+                     selected_update_masks, frame_valid, l_t: int):
         """One sliding-window generator call.
-        Reference inference_propainter.py:428-437."""
+        Reference inference_propainter.py:428-437. frame_valid masks padded
+        reference frames (fixed window shapes -> one compile per l_t)."""
         dt = self._dtype
         pred = self.inpaint.apply(
-            {"params": jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, self.inpaint_params)}
-            if dt != jnp.float32 else {"params": self.inpaint_params},
+            {"params": self._inpaint_params_c},
             selected_imgs.astype(dt),
             (flows_f.astype(dt), flows_b.astype(dt)),
-            selected_masks.astype(dt), selected_update_masks.astype(dt), l_t)
+            selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
+            frame_valid=frame_valid)
         return pred.astype(jnp.float32)
 
     # ---- full pipeline ---------------------------------------------------
@@ -242,6 +253,12 @@ class ProPainterPipeline:
         else:
             ref_num = -1
 
+        # fixed reference-frame count: pad shorter ref lists (masked via
+        # frame_valid, numerically exact) so every window with the same l_t
+        # shares one compiled executable
+        ref_pad = max(1, -(-min(video_length, cfg.subvideo_length)
+                           // cfg.ref_stride))
+
         comp_frames: list[np.ndarray | None] = [None] * video_length
         flows_f, flows_b = pred_flows_bi
 
@@ -251,8 +268,13 @@ class ProPainterPipeline:
                       min(video_length, f + neighbor_stride + 1)))
             ref_ids = get_ref_index(f, neighbor_ids, video_length,
                                     cfg.ref_stride, ref_num)
-            sel = neighbor_ids + ref_ids
             l_t = len(neighbor_ids)
+            n_valid_refs = len(ref_ids)
+            ref_ids = (ref_ids + [neighbor_ids[0]]
+                       * (ref_pad - n_valid_refs))[:ref_pad]
+            sel = neighbor_ids + ref_ids
+            frame_valid = np.ones(len(sel), np.bool_)
+            frame_valid[l_t + min(n_valid_refs, ref_pad):] = False
 
             selected_imgs = updated_frames[:, sel]
             selected_masks = masks_dilated[:, sel]
@@ -261,7 +283,8 @@ class ProPainterPipeline:
             sel_flows_b = flows_b[:, neighbor_ids[:-1]]
 
             pred = self._generate(selected_imgs, sel_flows_f, sel_flows_b,
-                                  selected_masks, selected_update_masks, l_t)
+                                  selected_masks, selected_update_masks,
+                                  jnp.asarray(frame_valid), l_t)
             pred_np = np.asarray((pred[0] + 1.0) / 2.0) * 255.0
             masks_np = np.asarray(masks_dilated[0, neighbor_ids]).astype(
                 np.uint8)
@@ -279,15 +302,22 @@ class ProPainterPipeline:
         return comp_frames
 
     def inpaint_video(self, frames_np: np.ndarray, flow_masks_np: np.ndarray,
-                      masks_dilated_np: np.ndarray) -> list[np.ndarray]:
+                      masks_dilated_np: np.ndarray,
+                      timings: dict | None = None) -> list[np.ndarray]:
         """Full 4-stage pipeline.
 
         Args:
           frames_np: (T, H, W, 3) uint8.
           flow_masks_np / masks_dilated_np: (T, H, W) bool/uint8 (1 = hole).
+          timings: optional dict that receives per-stage wall seconds
+            (keys raft/flow_completion/image_propagation/generation) — the
+            jax.profiler-friendly analogue of the reference's coarse
+            cuda-synchronized timers (scripts/evaluate_propainter.py:100-184).
         Returns:
           list of (H, W, 3) uint8 inpainted frames.
         """
+        import time
+
         frames = jnp.asarray(
             frames_np[None].astype(np.float32) / 255.0 * 2.0 - 1.0)
         flow_masks = jnp.asarray(
@@ -295,9 +325,26 @@ class ProPainterPipeline:
         masks_dilated = jnp.asarray(
             masks_dilated_np[None, ..., None].astype(np.float32))
 
-        gt_flows_bi = self.compute_flows(frames)
-        pred_flows_bi = self.complete_flows(gt_flows_bi, flow_masks)
-        updated_frames, updated_masks = self.propagate_images(
-            frames, pred_flows_bi, masks_dilated)
-        return self.generate(updated_frames, pred_flows_bi, masks_dilated,
-                             updated_masks, frames_np)
+        def timed(key, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            if timings is not None:
+                timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
+            return out
+
+        gt_flows_bi = timed("raft", lambda: self.compute_flows(frames))
+        pred_flows_bi = timed(
+            "flow_completion",
+            lambda: self.complete_flows(gt_flows_bi, flow_masks))
+        updated_frames, updated_masks = timed(
+            "image_propagation",
+            lambda: self.propagate_images(frames, pred_flows_bi,
+                                          masks_dilated))
+        t0 = time.perf_counter()
+        out = self.generate(updated_frames, pred_flows_bi, masks_dilated,
+                            updated_masks, frames_np)
+        if timings is not None:
+            timings["generation"] = (timings.get("generation", 0.0)
+                                     + time.perf_counter() - t0)
+        return out

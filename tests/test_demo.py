@@ -1,0 +1,87 @@
+"""Demo layer (L6): segmenter, flow tracker, facade wiring."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def raft_params():
+    from propainter_tpu.models.raft import RAFT
+
+    H, W = 64, 96
+    return RAFT().init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                       jnp.zeros((1, H, W, 3)), iters=1)["params"]
+
+
+def _scene(t, H=64, W=96):
+    """Frame with a bright square moving right by 2px/frame."""
+    img = np.full((H, W, 3), 30, np.uint8)
+    x = 20 + 2 * t
+    img[20:40, x : x + 20] = 220
+    return img
+
+
+def test_click_segmenter_finds_square():
+    from propainter_tpu.demo import ClickSegmenter
+
+    img = _scene(0)
+    seg = ClickSegmenter()
+    mask, logit, painted = seg.first_frame_click(
+        img, np.array([[30, 30]]), np.array([1]))
+    assert mask.shape == img.shape[:2] and mask.dtype == np.uint8
+    assert mask[30, 30] == 1
+    assert logit.dtype == np.float32
+    assert painted.shape == img.shape
+
+    # probe: background click suppresses the region
+    mask2, _, _ = seg.first_frame_click(
+        img, np.array([[30, 30], [5, 5]]), np.array([1, 0]))
+    assert mask2[5, 5] == 0
+
+
+def test_flow_tracker_api(raft_params):
+    from propainter_tpu.demo import FlowMaskTracker
+
+    tracker = FlowMaskTracker(raft_params, raft_iter=2)
+    frames = [_scene(t) for t in range(3)]
+    template = np.zeros((64, 96), np.uint8)
+    template[20:40, 20:40] = 1
+
+    m0, l0, p0 = tracker.track(frames[0], template)
+    np.testing.assert_array_equal(m0, template)
+    for f in frames[1:]:
+        m, l, p = tracker.track(f)
+        assert m.shape == template.shape and m.dtype == np.uint8
+        assert l.shape == template.shape
+    # random-weight flow won't track correctly; API + shape contract only.
+    tracker.clear_memory()
+    assert tracker._mask is None
+
+
+def test_facade_requires_gradio_free_api(raft_params):
+    """The facade composes without gradio installed."""
+    from propainter_tpu.demo.tracking import TrackingFacade, paint_mask
+
+    class _StubInpainter:
+        def inpaint(self, frames, masks, **kw):
+            return frames
+
+    facade = TrackingFacade.__new__(TrackingFacade)
+    from propainter_tpu.demo import ClickSegmenter, FlowMaskTracker
+
+    facade.segmenter = ClickSegmenter()
+    facade.tracker = FlowMaskTracker(raft_params, raft_iter=2)
+    facade.inpainter = _StubInpainter()
+
+    frames = [_scene(t) for t in range(2)]
+    template = np.zeros((64, 96), np.uint8)
+    template[20:40, 20:40] = 1
+    masks, logits, painted = facade.generator(frames, template)
+    assert len(masks) == 2
+    out = facade.inpaint(np.stack(frames), np.stack(masks))
+    assert out.shape == np.stack(frames).shape
+
+    pm = paint_mask(frames[0], template)
+    assert pm.shape == frames[0].shape and pm.dtype == np.uint8

@@ -223,3 +223,44 @@ class TestCorr:
         theirs = cb(coords_t)
         np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestCorrLookupMXU:
+    def test_matches_gather_lookup(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.corr import (
+            corr_pyramid, corr_lookup, corr_lookup_mxu)
+
+        B, H, W, D = 1, 16, 24, 32
+        f1 = jnp.asarray(rng.standard_normal((B, H, W, D), np.float32))
+        f2 = jnp.asarray(rng.standard_normal((B, H, W, D), np.float32))
+        pyr = corr_pyramid(f1, f2, 4)
+        coords = jnp.asarray(
+            rng.uniform(-3, max(H, W) + 3, (B, H, W, 2)).astype(np.float32))
+        ref = np.asarray(corr_lookup(pyr, coords, radius=4))
+        mxu = np.asarray(corr_lookup_mxu(pyr, coords, radius=4))
+        np.testing.assert_allclose(mxu, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestDeformMXU:
+    def test_matches_gather_deform(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import (
+            modulated_deform_conv2d, modulated_deform_conv2d_mxu)
+
+        B, H, W, C, dg = 2, 11, 13, 16, 4
+        K = 9
+        x = jnp.asarray(rng.standard_normal((B, H, W, C), np.float32))
+        offset = jnp.asarray(
+            rng.uniform(-4, 4, (B, H, W, dg, K, 2)).astype(np.float32))
+        mask = jnp.asarray(
+            rng.uniform(0, 1, (B, H, W, dg, K)).astype(np.float32))
+        weight = jnp.asarray(
+            rng.standard_normal((3, 3, C, 8)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+
+        ref = np.asarray(modulated_deform_conv2d(x, offset, mask, weight, bias))
+        mxu = np.asarray(
+            modulated_deform_conv2d_mxu(x, offset, mask, weight, bias,
+                                        row_chunk=4))
+        np.testing.assert_allclose(mxu, ref, rtol=2e-4, atol=2e-4)

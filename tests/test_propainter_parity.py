@@ -209,3 +209,38 @@ def test_full_generator_parity(ref, rng):
         jnp.asarray(masks_in), jnp.asarray(masks_upd), l_t)
     np.testing.assert_allclose(np.asarray(ours), _from_btchw(out_t),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_ref_padding_with_frame_valid_is_exact(rng):
+    """Padded reference frames (frame_valid=False) must not change valid
+    outputs — the pipeline relies on this for fixed-shape windows."""
+    import jax
+    import jax.numpy as jnp
+    from propainter_tpu.models.propainter import InpaintGenerator
+
+    B, l_t, H, W = 1, 3, 32, 48
+    n_ref, n_pad = 2, 2
+    key = jax.random.PRNGKey(0)
+    model = InpaintGenerator()
+
+    def mk(shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    frames = mk((B, l_t + n_ref, H, W, 3)) * 0.5
+    flows = (mk((B, l_t - 1, H, W, 2)), mk((B, l_t - 1, H, W, 2)))
+    masks = (mk((B, l_t + n_ref, H, W, 1)) > 0.3).astype(jnp.float32)
+    params = model.init(key, frames, flows, masks, masks, l_t)["params"]
+
+    out_ref = model.apply({"params": params}, frames, flows, masks, masks,
+                          l_t)
+
+    # pad 2 fake refs (copies of frame 0) and mask them invalid
+    pad_sel = [0] * n_pad
+    frames_p = jnp.concatenate([frames, frames[:, pad_sel]], axis=1)
+    masks_p = jnp.concatenate([masks, masks[:, pad_sel]], axis=1)
+    fv = jnp.asarray([True] * (l_t + n_ref) + [False] * n_pad)
+    out_pad = model.apply({"params": params}, frames_p, flows, masks_p,
+                          masks_p, l_t, frame_valid=fv)
+
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
