@@ -73,10 +73,12 @@ def make_inputs():
 
 
 def main():
-    pipe = build_pipeline("fp32")
+    # bf16 = the TPU-native equivalent of the reference's --fp16 switch
+    # (inference_propainter.py:333-337); RAFT stays fp32 either way.
+    pipe = build_pipeline("bf16")
     frames, mask = make_inputs()
 
-    # warmup: compiles every stage executable
+    # warmup: compiles every stage executable (persistent-cached)
     pipe.inpaint_video(frames, mask, mask)
 
     t0 = time.perf_counter()

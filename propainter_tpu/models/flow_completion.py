@@ -19,7 +19,7 @@ import flax.linen as nn
 
 from propainter_tpu.models.layers import conv2d, Conv3d, leaky_relu
 from propainter_tpu.ops.deform import (
-    modulated_deform_conv2d,
+    modulated_deform_conv2d_mxu,
     split_offset_mask_channels,
 )
 from propainter_tpu.ops.interp import resize
@@ -67,7 +67,8 @@ class SecondOrderDeformableAlignment(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (3, 3, 2 * c, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return modulated_deform_conv2d(x, offset, mask, kernel, bias)
+        # separable-matmul (MXU) formulation — gathers are slow on TPU
+        return modulated_deform_conv2d_mxu(x, offset, mask, kernel, bias)
 
 
 class _PropStep(nn.Module):
@@ -229,11 +230,18 @@ def forward_bidirect_flow(apply_fn, masked_flows_bi, masks, train=False):
     mf = masked_flows_bi[0] * (1 - masks_forward)
     mb = masked_flows_bi[1] * (1 - masks_backward)
 
-    pred_f, edges_f = apply_fn(mf, masks_forward, train)
-    pred_b, edges_b = apply_fn(mb[:, ::-1], masks_backward[:, ::-1], train)
-    pred_b = pred_b[:, ::-1]
-    if train and edges_b is not None:
-        edges_b = edges_b[:, ::-1]
+    # one batched call: forward direction stacked with the time-flipped
+    # backward direction (the reference runs two sequential forwards,
+    # :321-331; batching halves the scan count — identical numerics)
+    B = mf.shape[0]
+    flows_in = jnp.concatenate([mf, mb[:, ::-1]], axis=0)
+    masks_in = jnp.concatenate(
+        [masks_forward, masks_backward[:, ::-1]], axis=0)
+    pred, edges = apply_fn(flows_in, masks_in, train)
+    pred_f, pred_b = pred[:B], pred[B:, ::-1]
+    edges_f = edges_b = None
+    if edges is not None:
+        edges_f, edges_b = edges[:B], edges[B:, ::-1]
     return [pred_f, pred_b], [edges_f, edges_b]
 
 

@@ -33,7 +33,7 @@ import flax.linen as nn
 
 from propainter_tpu.models.layers import conv2d, leaky_relu
 from propainter_tpu.ops.deform import (
-    modulated_deform_conv2d,
+    modulated_deform_conv2d_mxu,
     split_offset_mask_channels,
 )
 from propainter_tpu.ops.interp import resize, max_pool2d
@@ -199,12 +199,21 @@ def _window_partition(x, window, n_head):
 
 class SparseWindowAttention(nn.Module):
     """Mask-guided sparse window attention, static-shape formulation.
-    Reference sparse_transformer.py:117-281."""
+    Reference sparse_transformer.py:117-281.
+
+    attention_impl:
+      'xla'    — dense dual-branch (both paths for all windows, select by
+                 occupancy); differentiable, used in training.
+      'pallas' — fused TPU kernel (ops/attention.py): one grid program per
+                 (head, window), clean windows skip the full branch,
+                 streaming softmax. Inference only (no custom VJP yet).
+    """
 
     dim: int = 512
     n_head: int = 4
     window_size: tuple[int, int] = (5, 9)
     pool_size: tuple[int, int] = (4, 4)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask, frame_select):
@@ -254,12 +263,6 @@ class SparseWindowAttention(nn.Module):
             _window_partition(jnp.roll(v, s, axis=(2, 3)), self.window_size,
                               n_head) for s in shifts
         ]
-        roll_k = jnp.concatenate(rolled_k, axis=4)[:, :, :, :, valid_idx]
-        roll_v = jnp.concatenate(rolled_v, axis=4)[:, :, :, :, valid_idx]
-
-        keys = [win_k, roll_k]
-        values = [win_v, roll_v]
-
         # pooled global tokens (depthwise avg-like conv, learnable)
         ph, pw = self.pool_size
         pool_x = nn.Conv(C, kernel_size=(ph, pw), strides=(ph, pw),
@@ -270,56 +273,88 @@ class SparseWindowAttention(nn.Module):
         pool_k = key_l(pool_x)
         pool_v = value_l(pool_x)
 
-        def pool_windows(p):
-            p = p.reshape(B, T, p_h * p_w, n_head, ch)
-            p = p.transpose(0, 3, 1, 2, 4)  # (B, head, T, P, ch)
-            return jnp.broadcast_to(
-                p[:, None], (B, nW, n_head, T, p_h * p_w, ch))
-
-        keys.append(pool_windows(pool_k))
-        values.append(pool_windows(pool_v))
-
-        win_k_all = jnp.concatenate(keys, axis=4)    # (B,nW,head,T,Ktok,ch)
-        win_v_all = jnp.concatenate(values, axis=4)
-        k_tok = win_k_all.shape[4]
-
-        scale = 1.0 / math.sqrt(ch)
-
-        # ---- branch A: masked windows attend across all (selected) frames
-        qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
-        ka = win_k_all.reshape(B, nW, n_head, T * k_tok, ch)
-        va = win_v_all.reshape(B, nW, n_head, T * k_tok, ch)
-        att_a = jnp.einsum(
-            "bwhqc,bwhkc->bwhqk", qa, ka,
-            preferred_element_type=jnp.float32) * scale
-        if frame_select is not None:
-            key_mask = jnp.repeat(frame_select, k_tok)  # (T*Ktok,)
-            att_a = jnp.where(key_mask[None, None, None, None, :],
-                              att_a, jnp.float32(-1e9))
-        att_a = jax.nn.softmax(att_a, axis=-1).astype(x.dtype)
-        out_a = jnp.einsum(
-            "bwhqk,bwhkc->bwhqc", att_a, va,
-            preferred_element_type=jnp.float32).astype(x.dtype)
-        out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
-
-        # ---- branch B: clean windows attend within-window, same-frame
-        att_b = jnp.einsum(
-            "bwhtqc,bwhtkc->bwhtqk", win_q, win_k,
-            preferred_element_type=jnp.float32) * scale
-        att_b = jax.nn.softmax(att_b, axis=-1).astype(x.dtype)
-        out_b = jnp.einsum(
-            "bwhtqk,bwhtkc->bwhtqc", att_b, win_v,
-            preferred_element_type=jnp.float32).astype(x.dtype)
-
         # ---- per-window occupancy (summed over local frames)
         l_t = mask.shape[1]
         mp = max_pool2d(
             mask.reshape(B * l_t, new_h, new_w, 1),
             self.window_size, self.window_size, (0, 0))
         occ = jnp.sum(mp.reshape(B, l_t, nW), axis=1)  # (B, nW)
-        use_full = (occ > 0)[:, :, None, None, None, None]
 
-        out = jnp.where(use_full, out_a, out_b)
+        scale = 1.0 / math.sqrt(ch)
+        if frame_select is None:
+            fs2d = jnp.ones((B, T), bool)
+        else:
+            fs2d = jnp.broadcast_to(
+                frame_select if frame_select.ndim == 2
+                else frame_select[None], (B, T))
+
+        if self.attention_impl == "pallas":
+            from propainter_tpu.ops.attention import (
+                sparse_window_attention_pallas)
+
+            def bh(a):  # (B, nW, head, ...) -> (B*head, nW, ...)
+                a = jnp.moveaxis(a, 2, 1)
+                return a.reshape((B * n_head,) + a.shape[2:])
+
+            roll_k4 = bh(jnp.stack(rolled_k, axis=3))  # (BH,nW,4,T,win,ch)
+            roll_v4 = bh(jnp.stack(rolled_v, axis=3))
+            roll_valid = np.zeros(4 * win_tokens, np.bool_)
+            roll_valid[valid_idx] = True
+
+            def pool_bh(p):
+                p = p.reshape(B, T, p_h * p_w, n_head, ch)
+                p = p.transpose(0, 3, 1, 2, 4)  # (B, head, T, P, ch)
+                return p.reshape(B * n_head, T, p_h * p_w, ch)
+
+            out = sparse_window_attention_pallas(
+                bh(win_q), bh(win_k), bh(win_v), roll_k4, roll_v4,
+                pool_bh(pool_k), pool_bh(pool_v), roll_valid, occ, fs2d,
+                n_head)
+            out = out.reshape(B, n_head, nW, T, win_tokens, ch)
+            out = jnp.moveaxis(out, 1, 2)  # (B, nW, head, T, win, ch)
+        else:
+            roll_k = jnp.concatenate(rolled_k, axis=4)[:, :, :, :, valid_idx]
+            roll_v = jnp.concatenate(rolled_v, axis=4)[:, :, :, :, valid_idx]
+
+            def pool_windows(p):
+                p = p.reshape(B, T, p_h * p_w, n_head, ch)
+                p = p.transpose(0, 3, 1, 2, 4)  # (B, head, T, P, ch)
+                return jnp.broadcast_to(
+                    p[:, None], (B, nW, n_head, T, p_h * p_w, ch))
+
+            win_k_all = jnp.concatenate(
+                [win_k, roll_k, pool_windows(pool_k)], axis=4)
+            win_v_all = jnp.concatenate(
+                [win_v, roll_v, pool_windows(pool_v)], axis=4)
+            k_tok = win_k_all.shape[4]
+
+            # branch A: masked windows attend across all (selected) frames
+            qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
+            ka = win_k_all.reshape(B, nW, n_head, T * k_tok, ch)
+            va = win_v_all.reshape(B, nW, n_head, T * k_tok, ch)
+            att_a = jnp.einsum(
+                "bwhqc,bwhkc->bwhqk", qa, ka,
+                preferred_element_type=jnp.float32) * scale
+            key_mask = jnp.repeat(fs2d, k_tok, axis=-1)  # (B, T*Ktok)
+            att_a = jnp.where(key_mask[:, None, None, None, :], att_a,
+                              jnp.float32(-1e9))
+            att_a = jax.nn.softmax(att_a, axis=-1).astype(x.dtype)
+            out_a = jnp.einsum(
+                "bwhqk,bwhkc->bwhqc", att_a, va,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
+
+            # branch B: clean windows attend within-window, same-frame
+            att_b = jnp.einsum(
+                "bwhtqc,bwhtkc->bwhtqk", win_q, win_k,
+                preferred_element_type=jnp.float32) * scale
+            att_b = jax.nn.softmax(att_b, axis=-1).astype(x.dtype)
+            out_b = jnp.einsum(
+                "bwhtqk,bwhtkc->bwhtqc", att_b, win_v,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+
+            use_full = (occ > 0)[:, :, None, None, None, None]
+            out = jnp.where(use_full, out_a, out_b)
 
         # inverse window partition
         out = out.reshape(B, nwh, nww, n_head, T, wh, ww, ch)
@@ -337,6 +372,7 @@ class TemporalSparseTransformer(nn.Module):
     n_head: int = 4
     window_size: tuple[int, int] = (5, 9)
     pool_size: tuple[int, int] = (4, 4)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, fold_x_size, mask, frame_select):
@@ -345,7 +381,7 @@ class TemporalSparseTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         att = SparseWindowAttention(
             self.dim, self.n_head, self.window_size, self.pool_size,
-            name="attention")(x, mask, frame_select)
+            self.attention_impl, name="attention")(x, mask, frame_select)
         x = shortcut + att
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         mlp = FusionFeedForward(self.dim, name="mlp")(
@@ -362,6 +398,7 @@ class TemporalSparseTransformerBlock(nn.Module):
     window_size: tuple[int, int] = (5, 9)
     pool_size: tuple[int, int] = (4, 4)
     depths: int = 8
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2,
@@ -378,7 +415,7 @@ class TemporalSparseTransformerBlock(nn.Module):
                 sel_arr = sel_arr & frame_valid
             x = TemporalSparseTransformer(
                 self.dim, self.n_head, self.window_size, self.pool_size,
-                name=f"transformer_{i}")(
+                self.attention_impl, name=f"transformer_{i}")(
                     x, fold_x_size, l_mask, sel_arr)
         return x
 
@@ -487,7 +524,8 @@ class DeformableAlignment(nn.Module):
             raw, dg, self.max_residue_magnitude, flow=flow)
         kernel = self.param("kernel", nn.initializers.he_normal(), (3, 3, c, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return modulated_deform_conv2d(x, offset, mask, kernel, bias)
+        # separable-matmul (MXU) formulation — gathers are slow on TPU
+        return modulated_deform_conv2d_mxu(x, offset, mask, kernel, bias)
 
 
 class _FeatPropStep(nn.Module):
@@ -576,6 +614,8 @@ class InpaintGenerator(nn.Module):
     num_heads: int = 4
     window_size: tuple[int, int] = (5, 9)
     pool_size: tuple[int, int] = (4, 4)
+    # 'pallas' = fused sparse window attention kernel (inference on TPU)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, masked_frames, completed_flows, masks_in,
@@ -645,7 +685,7 @@ class InpaintGenerator(nn.Module):
             enc_feat.reshape(-1, h, w, c), B, fold_feat_size)
         trans_feat = TemporalSparseTransformerBlock(
             self.hidden, self.num_heads, self.window_size, self.pool_size,
-            self.depths, name="transformers")(
+            self.depths, self.attention_impl, name="transformers")(
                 trans_feat, fold_feat_size, mask_pool_l, t_dilation,
                 frame_valid)
         trans_feat = SoftComp(self.channel, name="sc")(

@@ -73,6 +73,22 @@ class PipelineConfig:
     subvideo_length: int = 80
     raft_iter: int = 20
     precision: str = "fp32"  # 'fp32' | 'bf16'
+    # stage-4 windows with identical shape can run as one batched generator
+    # call (pad windows repeat an earlier window, weighted out of the
+    # compositing average). Measured slower than per-window calls on one
+    # v5e chip (HBM-bandwidth bound), so off by default; used for multi-chip
+    # sharding where the window batch is split across devices.
+    window_batch: int = 1
+    # shard the embarrassingly-parallel batch axes (RAFT frame pairs,
+    # stage-4 window batches) over all visible devices — the multi-chip
+    # inference layout (SURVEY.md section 7.7: batch-of-windows sharding).
+    shard_inference: bool = False
+    # sparse window attention implementation. 'xla' (default): dense
+    # dual-branch — all (window, head) problems in one batched MXU einsum;
+    # measured 6x FASTER than the per-window 'pallas' kernel on v5e (one
+    # TensorCore: per-window grid programs serialize and under-fill the MXU).
+    # 'pallas' kept as an opt-in for future multi-core parts.
+    attention_impl: str = "xla"
 
 
 class ProPainterPipeline:
@@ -81,9 +97,10 @@ class ProPainterPipeline:
     def __init__(self, raft_params, flowcomp_params, inpaint_params,
                  config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
+        impl = self.config.attention_impl
         self.raft = RAFT()
         self.flowcomp = RecurrentFlowCompleteNet()
-        self.inpaint = InpaintGenerator()
+        self.inpaint = InpaintGenerator(attention_impl=impl)
         self.raft_params = raft_params
         self.flowcomp_params = flowcomp_params
         self.inpaint_params = inpaint_params
@@ -100,11 +117,19 @@ class ProPainterPipeline:
             self._flowcomp_params_c = flowcomp_params
             self._inpaint_params_c = inpaint_params
 
+        self._batch_sharding = None
+        if self.config.shard_inference and len(jax.devices()) > 1:
+            from propainter_tpu.parallel.mesh import make_mesh, batch_sharding
+
+            self._batch_sharding = batch_sharding(make_mesh())
+
         self._raft_bi = jax.jit(self._raft_bi_fn, static_argnames=("iters",))
         self._complete_flow = jax.jit(self._complete_flow_fn)
         self._img_prop = jax.jit(self._img_prop_fn)
         self._generate = jax.jit(
             self._generate_fn, static_argnames=("l_t",))
+        self._accumulate = jax.jit(self._accumulate_fn, donate_argnums=(0, 1))
+        self._finalize = jax.jit(self._finalize_fn)
 
     # ---- stage fns -------------------------------------------------------
 
@@ -117,6 +142,10 @@ class ProPainterPipeline:
         # batch fwd+bwd pairs into one RAFT call (2x batch, one compile)
         a = jnp.concatenate([f1, f2], axis=0)
         b = jnp.concatenate([f2, f1], axis=0)
+        if self._batch_sharding is not None:
+            # pairs are independent: shard the pair axis across chips
+            a = jax.lax.with_sharding_constraint(a, self._batch_sharding)
+            b = jax.lax.with_sharding_constraint(b, self._batch_sharding)
         _, flow = self.raft.apply({"params": self.raft_params}, a, b,
                                   iters=iters)
         n = f1.shape[0]
@@ -157,6 +186,14 @@ class ProPainterPipeline:
         Reference inference_propainter.py:428-437. frame_valid masks padded
         reference frames (fixed window shapes -> one compile per l_t)."""
         dt = self._dtype
+        if self._batch_sharding is not None:
+            # windows are independent: shard the window-batch axis
+            wsc = lambda x: jax.lax.with_sharding_constraint(
+                x, self._batch_sharding)
+            selected_imgs, flows_f, flows_b = map(
+                wsc, (selected_imgs, flows_f, flows_b))
+            selected_masks, selected_update_masks = map(
+                wsc, (selected_masks, selected_update_masks))
         pred = self.inpaint.apply(
             {"params": self._inpaint_params_c},
             selected_imgs.astype(dt),
@@ -164,6 +201,30 @@ class ProPainterPipeline:
             selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
             frame_valid=frame_valid)
         return pred.astype(jnp.float32)
+
+    @staticmethod
+    def _accumulate_fn(comp_sum, comp_cnt, pred, ids, w):
+        """Accumulate a batch of windows' predictions on device.
+
+        Double-visit frames are averaged at finalize — the reference
+        (inference_propainter.py:443-450) averages 0.5/0.5 per visit;
+        mean-of-visits is identical for <=2 visits up to uint8 rounding.
+        w: (wb,) 1.0 for real windows, 0.0 for batch-padding duplicates.
+        """
+        img = (pred + 1.0) * 127.5  # [-1,1] -> [0,255]
+        wex = w[:, None, None, None, None].astype(comp_sum.dtype)
+        comp_sum = comp_sum.at[ids].add(img.astype(comp_sum.dtype) * wex)
+        comp_cnt = comp_cnt.at[ids].add(
+            jnp.broadcast_to(wex, ids.shape + (1, 1, 1)))
+        return comp_sum, comp_cnt
+
+    @staticmethod
+    def _finalize_fn(comp_sum, comp_cnt, ori, masks):
+        """Composite averaged predictions into the original frames.
+        masks: (T, H, W, 1) binary. Returns (T, H, W, 3) uint8."""
+        pred_avg = comp_sum / jnp.maximum(comp_cnt, 1.0)
+        out = pred_avg * masks + ori * (1.0 - masks)
+        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
     # ---- full pipeline ---------------------------------------------------
 
@@ -259,9 +320,16 @@ class ProPainterPipeline:
         ref_pad = max(1, -(-min(video_length, cfg.subvideo_length)
                            // cfg.ref_stride))
 
-        comp_frames: list[np.ndarray | None] = [None] * video_length
+        # on-device accumulation: predictions never round-trip to host per
+        # window (the reference downloads every window,
+        # inference_propainter.py:438); one uint8 transfer at the end.
+        comp_sum = jnp.zeros((video_length, H, W, 3), jnp.float32)
+        comp_cnt = jnp.zeros((video_length, 1, 1, 1), jnp.float32)
         flows_f, flows_b = pred_flows_bi
+        assert B == 1, "stage 4 batches windows over the batch axis"
 
+        # build all windows, then group same-shape windows into batched calls
+        windows = []  # (neighbor_ids, sel, frame_valid)
         for f in range(0, video_length, neighbor_stride):
             neighbor_ids = list(
                 range(max(0, f - neighbor_stride),
@@ -275,31 +343,41 @@ class ProPainterPipeline:
             sel = neighbor_ids + ref_ids
             frame_valid = np.ones(len(sel), np.bool_)
             frame_valid[l_t + min(n_valid_refs, ref_pad):] = False
+            windows.append((neighbor_ids, sel, frame_valid))
 
-            selected_imgs = updated_frames[:, sel]
-            selected_masks = masks_dilated[:, sel]
-            selected_update_masks = updated_masks[:, sel]
-            sel_flows_f = flows_f[:, neighbor_ids[:-1]]
-            sel_flows_b = flows_b[:, neighbor_ids[:-1]]
+        groups: dict[int, list] = {}
+        for wdw in windows:
+            groups.setdefault(len(wdw[0]), []).append(wdw)
 
-            pred = self._generate(selected_imgs, sel_flows_f, sel_flows_b,
-                                  selected_masks, selected_update_masks,
-                                  jnp.asarray(frame_valid), l_t)
-            pred_np = np.asarray((pred[0] + 1.0) / 2.0) * 255.0
-            masks_np = np.asarray(masks_dilated[0, neighbor_ids]).astype(
-                np.uint8)
+        wb = max(1, self.config.window_batch)
+        for l_t, grp in groups.items():
+            for start in range(0, len(grp), wb):
+                batch = grp[start : start + wb]
+                n_real = len(batch)
+                if len(grp) > wb and n_real < wb:
+                    # pad to the full batch by repeating windows: their
+                    # predictions accumulate into sum AND count, so the
+                    # final average is unchanged
+                    batch = (batch * wb)[:wb]
+                nb = np.array([w_[0] for w_ in batch], np.int32)  # (wb, l_t)
+                sel = np.array([w_[1] for w_ in batch], np.int32)
+                fv = np.array([w_[2] for w_ in batch])
 
-            for i, idx in enumerate(neighbor_ids):
-                img = (pred_np[i].astype(np.uint8) * masks_np[i]
-                       + ori_frames[idx] * (1 - masks_np[i]))
-                if comp_frames[idx] is None:
-                    comp_frames[idx] = img
-                else:
-                    comp_frames[idx] = (
-                        comp_frames[idx].astype(np.float32) * 0.5
-                        + img.astype(np.float32) * 0.5)
-                comp_frames[idx] = comp_frames[idx].astype(np.uint8)
-        return comp_frames
+                w = np.zeros(len(batch), np.float32)
+                w[:n_real] = 1.0
+                pred = self._generate(
+                    updated_frames[0, sel], flows_f[0, nb[:, :-1]],
+                    flows_b[0, nb[:, :-1]], masks_dilated[0, sel],
+                    updated_masks[0, sel], jnp.asarray(fv), l_t)
+                comp_sum, comp_cnt = self._accumulate(
+                    comp_sum, comp_cnt, pred, jnp.asarray(nb),
+                    jnp.asarray(w))
+
+        final = self._finalize(
+            comp_sum, comp_cnt,
+            jnp.asarray(ori_frames.astype(np.float32)), masks_dilated[0])
+        final_np = np.asarray(final)
+        return [final_np[i] for i in range(video_length)]
 
     def inpaint_video(self, frames_np: np.ndarray, flow_masks_np: np.ndarray,
                       masks_dilated_np: np.ndarray,
