@@ -46,6 +46,10 @@ def build_argparser():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the 2nd video "
                         "(post-compile) to DIR")
+    p.add_argument("--warp_error", action="store_true",
+                   help="also compute E_warp on the inpainted output "
+                        "(native; the reference delegates this to an "
+                        "external repo, README.md:281)")
     return p
 
 
@@ -91,7 +95,7 @@ def main(argv=None):
         f"{args.dataset}_rs_{args.ref_stride}_nl_{args.neighbor_length}")
     os.makedirs(out_dir, exist_ok=True)
 
-    all_psnr, all_ssim = [], []
+    all_psnr, all_ssim, all_ewarp = [], [], []
     real_acts, fake_acts = [], []
     total_frames, total_time = 0, 0.0
 
@@ -129,6 +133,16 @@ def main(argv=None):
                 real_acts.append(np.asarray(i3d_apply(gt_v)).ravel())
                 fake_acts.append(np.asarray(i3d_apply(pr_v)).ravel())
 
+        if args.warp_error:
+            from propainter_tpu.core.metrics import calculate_warping_error
+
+            comp_arr = np.stack(comp)
+            comp_dev = jnp.asarray(
+                comp_arr[None].astype(np.float32) / 255.0 * 2 - 1)
+            ewf, ewb = pipe.compute_flows(comp_dev)
+            all_ewarp.append(calculate_warping_error(
+                comp_arr, np.asarray(ewf[0]), np.asarray(ewb[0])))
+
         if args.save_results:
             from propainter_tpu.utils.video import write_frames
             write_frames(comp, os.path.join(out_dir, name))
@@ -148,6 +162,8 @@ def main(argv=None):
     if all_psnr:
         lines += [f"psnr: {np.mean(all_psnr):.4f}",
                   f"ssim: {np.mean(all_ssim):.4f}"]
+    if all_ewarp:
+        lines.append(f"ewarp: {np.mean(all_ewarp):.6f}")
     if real_acts:
         vfid = calculate_vfid(real_acts, fake_acts)
         lines.append(f"vfid: {vfid:.4f}")

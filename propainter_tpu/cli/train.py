@@ -144,6 +144,25 @@ def main(argv=None):
     if latest is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {latest}")
+    elif trainer_version != "trainer_flow_w_edge":
+        # warm start from released torch checkpoints
+        # (reference core/trainer.py:248-268 gen_path/dis_path)
+        from propainter_tpu.convert.torch_to_jax import load_torch_checkpoint
+
+        if config["model"].get("gen_path"):
+            from propainter_tpu.models.propainter import (
+                convert_inpaint_state_dict)
+
+            state = state.replace(gen_params=convert_inpaint_state_dict(
+                load_torch_checkpoint(config["model"]["gen_path"])))
+            print(f"warm-started G from {config['model']['gen_path']}")
+        if config["model"].get("dis_path"):
+            from propainter_tpu.models.discriminator import (
+                convert_discriminator_state_dict)
+
+            state = state.replace(dis_params=convert_discriminator_state_dict(
+                load_torch_checkpoint(config["model"]["dis_path"])))
+            print(f"warm-started D from {config['model']['dis_path']}")
 
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
     save_freq = int(train_args.get("save_freq", 10000))

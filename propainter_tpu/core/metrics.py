@@ -101,3 +101,38 @@ def calculate_vfid(real_activations: list[np.ndarray],
     s1 = np.cov(real_activations, rowvar=False)
     s2 = np.cov(fake_activations, rowvar=False)
     return calculate_frechet_distance(m1, s1, m2, s2)
+
+
+def calculate_warping_error(frames: np.ndarray, flows_f: np.ndarray,
+                            flows_b: np.ndarray) -> float:
+    """Temporal warping error E_warp (Lai et al. 2018 formulation).
+
+    The reference delegates E_warp to the external fast_blind_video_
+    consistency repo (README.md:281); this is a native implementation so the
+    full eval protocol runs in one place: for consecutive frames,
+    occlusion-masked MSE between frame t and frame t+1 backward-warped by the
+    forward flow, with the occlusion mask from forward-backward consistency
+    (|F_f + warp(F_b)|^2 < 0.01 (|F_f|^2 + |warp(F_b)|^2) + 0.5).
+
+    Args:
+      frames: (T, H, W, 3) uint8 or [0,1] float.
+      flows_f: (T-1, H, W, 2) forward flow t -> t+1.
+      flows_b: (T-1, H, W, 2) backward flow t+1 -> t.
+    Returns:
+      mean occlusion-masked per-pixel MSE (frames scaled to [0, 1]).
+    """
+    import jax.numpy as jnp
+    from propainter_tpu.ops.warp import flow_warp, fb_consistency_check
+
+    f = frames.astype(np.float32)
+    if f.max() > 1.5:
+        f = f / 255.0
+    cur = jnp.asarray(f[:-1])
+    nxt = jnp.asarray(f[1:])
+    ff = jnp.asarray(flows_f.astype(np.float32))
+    fb = jnp.asarray(flows_b.astype(np.float32))
+    warped = flow_warp(nxt, ff, "bilinear")
+    valid = fb_consistency_check(ff, fb)  # (T-1, H, W, 1), 1 = non-occluded
+    err = jnp.sum(valid * jnp.sum((cur - warped) ** 2, -1, keepdims=True))
+    denom = jnp.maximum(jnp.sum(valid) * 3.0, 1.0)
+    return float(err / denom)

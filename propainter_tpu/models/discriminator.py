@@ -56,3 +56,22 @@ class Discriminator(nn.Module):
 def Discriminator2D(**kwargs) -> Discriminator:
     """k=(1,5,5) variant. Reference model/propainter.py:454-527."""
     return Discriminator(kd=1, **kwargs)
+
+
+def convert_discriminator_state_dict(sd) -> dict:
+    """Convert a torch T-PatchGAN state dict (dis_*.pth) to flax params.
+
+    Spectral-norm wrapped convs store `weight_orig` + power-iteration vectors
+    (`weight_u`/`weight_v`); we take weight_orig as the kernel — flax's
+    SpectralNorm re-estimates u/sigma in its own batch_stats within a few
+    steps (reference model/modules/spectral_norm.py keeps the same raw
+    weight + iteration state split).
+    """
+    from propainter_tpu.convert.torch_to_jax import convert_state_dict
+
+    cleaned = {}
+    for k, v in sd.items():
+        if k.endswith(("weight_u", "weight_v")):
+            continue
+        cleaned[k.replace("weight_orig", "weight")] = v
+    return convert_state_dict(cleaned)
