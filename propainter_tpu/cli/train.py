@@ -54,11 +54,16 @@ def main(argv=None):
         filename=os.path.join(save_dir, "train.log"), level=logging.INFO,
         format="%(asctime)s %(message)s")
 
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
     batch_size = train_args["batch_size"]
-    assert batch_size % n_dev == 0, (
-        f"global batch {batch_size} must divide over {n_dev} devices")
+    # data parallelism cannot exceed the global batch: use the largest
+    # device count that divides it (reference splits batch over all GPUs,
+    # core/trainer.py:47, and asserts divisibility implicitly)
+    avail = len(jax.devices())
+    n_dev = next(n for n in range(min(avail, batch_size), 0, -1)
+                 if batch_size % n == 0)
+    if n_dev != avail:
+        print(f"using {n_dev}/{avail} devices (batch {batch_size})")
+    mesh = make_mesh(n_dev)
 
     ds_cfg = TrainDatasetConfig(
         video_root=data_args["video_root"],

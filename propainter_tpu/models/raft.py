@@ -179,37 +179,53 @@ class RAFT(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
 
-    @nn.compact
-    def __call__(self, image1, image2, iters: int = 20):
-        image1 = image1.astype(jnp.float32)
-        image2 = image2.astype(jnp.float32)
-        fnet = BasicEncoder(256, "instance", name="fnet")
-        fmap1 = fnet(image1)
-        fmap2 = fnet(image2)
+    def setup(self):
+        self.fnet = BasicEncoder(256, "instance")
+        self.cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch")
+        self.scanned = nn.scan(
+            _UpdateStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )()
+
+    def encode(self, images):
+        """Per-frame features: (N, H, W, 3) -> (fmap, net, inp).
+
+        Lets callers encode each unique frame ONCE and index frame pairs —
+        the reference (and plain __call__) re-encodes every frame up to 4x
+        across the fwd/bwd pair batches (model/modules/flow_comp_raft.py:39-55).
+        """
+        images = images.astype(jnp.float32)
+        fmap = self.fnet(images)
+        c = self.cnet(images)
+        net = jnp.tanh(c[..., : self.hidden_dim])
+        inp = jax.nn.relu(c[..., self.hidden_dim :])
+        return fmap, net, inp
+
+    def refine(self, fmap1, fmap2, net, inp, iters: int = 20):
+        """Iterative GRU refinement from precomputed features."""
         pyramid = tuple(corr_pyramid(fmap1, fmap2, self.corr_levels))
-
-        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
-                            name="cnet")(image1)
-        net = jnp.tanh(cnet[..., : self.hidden_dim])
-        inp = jax.nn.relu(cnet[..., self.hidden_dim :])
-
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)
         up_mask0 = jnp.zeros((B, H8, W8, 64 * 9), jnp.float32)
 
-        scan = nn.scan(
-            _UpdateStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=iters,
-        )(name="scanned")
-        (net, coords1, up_mask, _, _, _), _ = scan(
-            (net, coords1, up_mask0, inp, coords0, pyramid), None)
+        (net, coords1, up_mask, _, _, _), _ = self.scanned(
+            (net, coords1, up_mask0, inp, coords0, pyramid),
+            jnp.zeros((iters,), jnp.int32))
 
         flow_low = coords1 - coords0
         flow_up = upsample_flow_convex(flow_low, up_mask)
         return flow_low, flow_up
+
+    def __call__(self, image1, image2, iters: int = 20):
+        fmap1 = self.fnet(image1.astype(jnp.float32))
+        fmap2 = self.fnet(image2.astype(jnp.float32))
+        c = self.cnet(image1.astype(jnp.float32))
+        net = jnp.tanh(c[..., : self.hidden_dim])
+        inp = jax.nn.relu(c[..., self.hidden_dim :])
+        return self.refine(fmap1, fmap2, net, inp, iters)
 
 
 def convert_raft_state_dict(sd) -> dict:

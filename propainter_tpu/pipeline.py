@@ -137,18 +137,39 @@ class ProPainterPipeline:
         """frames (B, T, H, W, 3) in [-1,1] -> (flows_f, flows_b) (B,T-1,H,W,2).
         Reference model/modules/flow_comp_raft.py:39-55."""
         B, T, H, W, C = frames.shape
-        f1 = frames[:, :-1].reshape(-1, H, W, C)
-        f2 = frames[:, 1:].reshape(-1, H, W, C)
-        # batch fwd+bwd pairs into one RAFT call (2x batch, one compile)
-        a = jnp.concatenate([f1, f2], axis=0)
-        b = jnp.concatenate([f2, f1], axis=0)
+        # encode each unique frame ONCE (the reference re-encodes frames up
+        # to 4x across the fwd/bwd pair batches), then index pairs into one
+        # batched GRU refinement: fwd pairs (t, t+1), bwd pairs (t+1, t).
+        flat = frames.reshape(B * T, H, W, C)
+        if self._batch_sharding is not None:
+            flat = jax.lax.with_sharding_constraint(flat,
+                                                    self._batch_sharding)
+        fmap, net, inp = self.raft.apply(
+            {"params": self.raft_params}, flat, method="encode")
+
+        def pairs(x):
+            x = x.reshape((B, T) + x.shape[1:])
+            first = x[:, :-1].reshape((B * (T - 1),) + x.shape[2:])
+            second = x[:, 1:].reshape((B * (T - 1),) + x.shape[2:])
+            return first, second
+
+        fm1, fm2 = pairs(fmap)
+        nt1, nt2 = pairs(net)
+        in1, in2 = pairs(inp)
+        fmap1 = jnp.concatenate([fm1, fm2], axis=0)
+        fmap2 = jnp.concatenate([fm2, fm1], axis=0)
+        net_b = jnp.concatenate([nt1, nt2], axis=0)
+        inp_b = jnp.concatenate([in1, in2], axis=0)
         if self._batch_sharding is not None:
             # pairs are independent: shard the pair axis across chips
-            a = jax.lax.with_sharding_constraint(a, self._batch_sharding)
-            b = jax.lax.with_sharding_constraint(b, self._batch_sharding)
-        _, flow = self.raft.apply({"params": self.raft_params}, a, b,
-                                  iters=iters)
-        n = f1.shape[0]
+            wsc = lambda x: jax.lax.with_sharding_constraint(
+                x, self._batch_sharding)
+            fmap1, fmap2, net_b, inp_b = map(wsc, (fmap1, fmap2, net_b,
+                                                   inp_b))
+        _, flow = self.raft.apply(
+            {"params": self.raft_params}, fmap1, fmap2, net_b, inp_b,
+            iters, method="refine")
+        n = B * (T - 1)
         flows_f = flow[:n].reshape(B, T - 1, H, W, 2)
         flows_b = flow[n:].reshape(B, T - 1, H, W, 2)
         return flows_f, flows_b

@@ -75,3 +75,16 @@ def test_download_helper_offline(tmp_path):
     # missing file in an offline env raises with instructions
     with pytest.raises(RuntimeError, match="offline|download"):
         load_file_from_url("http://invalid.invalid/y.pth", str(tmp_path))
+
+
+def test_file_client(tmp_path):
+    from propainter_tpu.utils.file_client import FileClient
+
+    f = tmp_path / "a.bin"
+    f.write_bytes(b"\x01\x02")
+    fc = FileClient("disk")
+    assert fc.get(str(f)) == b"\x01\x02"
+    with pytest.raises(ValueError, match="not supported"):
+        FileClient("memcached")
+    with pytest.raises(ImportError, match="lmdb"):
+        FileClient("lmdb", db_paths=str(tmp_path))
