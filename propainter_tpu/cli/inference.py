@@ -29,8 +29,33 @@ def load_params(weights_dir: str):
 
     Prefers pre-converted orbax checkpoints (subdirs raft/, flowcomp/,
     inpaint/); falls back to converting the reference's .pth files.
+    'random' loads random-initialized params (pipeline smoke runs without
+    released checkpoints).
     """
     from propainter_tpu.checkpoints import load_params_bundle, save_params_bundle
+
+    if weights_dir == "random":
+        import jax
+        import jax.numpy as jnp
+        from propainter_tpu.models.raft import RAFT
+        from propainter_tpu.models.flow_completion import (
+            RecurrentFlowCompleteNet)
+        from propainter_tpu.models.propainter import InpaintGenerator
+
+        key = jax.random.PRNGKey(0)
+        H = W = 64
+        return {
+            "raft": RAFT().init(key, jnp.zeros((1, H, W, 3)),
+                                jnp.zeros((1, H, W, 3)), iters=1)["params"],
+            "flowcomp": RecurrentFlowCompleteNet().init(
+                key, jnp.zeros((1, 2, H, W, 2)),
+                jnp.zeros((1, 2, H, W, 1)))["params"],
+            "inpaint": InpaintGenerator().init(
+                key, jnp.zeros((1, 3, H, W, 3)),
+                (jnp.zeros((1, 1, H, W, 2)), jnp.zeros((1, 1, H, W, 2))),
+                jnp.zeros((1, 3, H, W, 1)), jnp.zeros((1, 3, H, W, 1)),
+                2)["params"],
+        }
 
     orbax_dir = os.path.join(weights_dir, "jax")
     if os.path.isdir(orbax_dir):

@@ -67,11 +67,30 @@ def resize_frames(
 
 def write_video(frames: list[np.ndarray], path: str, fps: float = 24.0,
                 quality: int = 7):
-    """Write frames to an mp4 (imageio/ffmpeg, quality=7 as the reference)."""
-    import imageio
+    """Write frames to an mp4.
 
+    Prefers imageio/ffmpeg (quality=7 like the reference,
+    inference_propainter.py:466-471); falls back to cv2.VideoWriter when no
+    ffmpeg backend is installed (the TPU image bundles cv2's codecs only).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.mimwrite(path, frames, fps=fps, quality=quality)
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=quality)
+        return
+    except (ValueError, ImportError):
+        pass
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                         float(fps), (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(f"no mp4 writer available for {path}")
+    for f in frames:
+        vw.write(cv2.cvtColor(np.asarray(f, np.uint8), cv2.COLOR_RGB2BGR))
+    vw.release()
 
 
 def write_frames(frames: list[np.ndarray], out_dir: str,
