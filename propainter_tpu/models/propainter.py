@@ -221,10 +221,19 @@ class SparseWindowAttention(nn.Module):
         Args:
           x:    (B, T, H, W, C) tokens.
           mask: (B, l_t, H, W, 1) pooled local-frame masks (1 = hole).
-          frame_select: (T,) bool — frames visible to masked-window attention
-            (the reference's T_ind temporal dilation), or None for all.
+          frame_select: frames visible to masked-window attention — either a
+            (T,) / (B, T) bool array, or a tuple
+            (static_sel: np.ndarray (T,), dynamic_valid: array (B?,T) | None)
+            where the static part (the reference's T_ind temporal dilation)
+            is GATHERED (fewer keys, like sparse_transformer.py:241-248) and
+            the dynamic part (padded refs) is masked.
         """
         B, T, H, W, C = x.shape
+        if isinstance(frame_select, tuple):
+            static_sel, dyn_valid = frame_select
+        else:
+            static_sel = np.ones(T, np.bool_)
+            dyn_valid = frame_select
         wh, ww = self.window_size
         n_head = self.n_head
         ch = C // n_head
@@ -281,12 +290,11 @@ class SparseWindowAttention(nn.Module):
         occ = jnp.sum(mp.reshape(B, l_t, nW), axis=1)  # (B, nW)
 
         scale = 1.0 / math.sqrt(ch)
-        if frame_select is None:
-            fs2d = jnp.ones((B, T), bool)
-        else:
-            fs2d = jnp.broadcast_to(
-                frame_select if frame_select.ndim == 2
-                else frame_select[None], (B, T))
+        # merged (B, T) mask — used by the pallas kernel path
+        fs2d = jnp.broadcast_to(jnp.asarray(static_sel)[None], (B, T))
+        if dyn_valid is not None:
+            dv = dyn_valid if dyn_valid.ndim == 2 else dyn_valid[None]
+            fs2d = fs2d & jnp.broadcast_to(dv, (B, T))
 
         if self.attention_impl == "pallas":
             from propainter_tpu.ops.attention import (
@@ -328,16 +336,28 @@ class SparseWindowAttention(nn.Module):
                 [win_v, roll_v, pool_windows(pool_v)], axis=4)
             k_tok = win_k_all.shape[4]
 
+            # gather the statically-selected frames' keys (the reference's
+            # T_ind gather, sparse_transformer.py:241-248) — halves branch-A
+            # work vs masking when t_dilation=2
+            sel_idx = np.nonzero(static_sel)[0]
+            Ts = len(sel_idx)
+            win_k_all = win_k_all[:, :, :, sel_idx]
+            win_v_all = win_v_all[:, :, :, sel_idx]
+
             # branch A: masked windows attend across all (selected) frames
             qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
-            ka = win_k_all.reshape(B, nW, n_head, T * k_tok, ch)
-            va = win_v_all.reshape(B, nW, n_head, T * k_tok, ch)
+            ka = win_k_all.reshape(B, nW, n_head, Ts * k_tok, ch)
+            va = win_v_all.reshape(B, nW, n_head, Ts * k_tok, ch)
             att_a = jnp.einsum(
                 "bwhqc,bwhkc->bwhqk", qa, ka,
                 preferred_element_type=jnp.float32) * scale
-            key_mask = jnp.repeat(fs2d, k_tok, axis=-1)  # (B, T*Ktok)
-            att_a = jnp.where(key_mask[:, None, None, None, :], att_a,
-                              jnp.float32(-1e9))
+            if dyn_valid is not None:
+                dv = (dyn_valid if dyn_valid.ndim == 2
+                      else dyn_valid[None])  # (B?, T)
+                dv = jnp.broadcast_to(dv, (B, T))[:, sel_idx]
+                key_mask = jnp.repeat(dv, k_tok, axis=-1)  # (B, Ts*Ktok)
+                att_a = jnp.where(key_mask[:, None, None, None, :], att_a,
+                                  jnp.float32(-1e9))
             att_a = jax.nn.softmax(att_a, axis=-1).astype(x.dtype)
             out_a = jnp.einsum(
                 "bwhqk,bwhkc->bwhqc", att_a, va,
@@ -406,17 +426,15 @@ class TemporalSparseTransformerBlock(nn.Module):
         assert self.depths % t_dilation == 0
         T = x.shape[1]
         for i in range(self.depths):
-            sel = np.zeros(T, np.bool_)
-            sel[i % t_dilation :: t_dilation] = True
-            sel_arr = jnp.asarray(sel)
-            if frame_valid is not None:
-                # padded (invalid) frames contribute no attention keys —
-                # makes fixed-shape ref padding numerically exact
-                sel_arr = sel_arr & frame_valid
+            # static temporal dilation pattern (reference gathers T_ind
+            # frames, sparse_transformer.py:241-248); the dynamic
+            # frame_valid mask (padded refs) rides along separately
+            static_sel = np.zeros(T, np.bool_)
+            static_sel[i % t_dilation :: t_dilation] = True
             x = TemporalSparseTransformer(
                 self.dim, self.n_head, self.window_size, self.pool_size,
                 self.attention_impl, name=f"transformer_{i}")(
-                    x, fold_x_size, l_mask, sel_arr)
+                    x, fold_x_size, l_mask, (static_sel, frame_valid))
         return x
 
 

@@ -123,6 +123,9 @@ class ProPainterPipeline:
 
             self._batch_sharding = batch_sharding(make_mesh())
 
+        # params are passed as jit ARGUMENTS (not closure constants): XLA
+        # cannot constant-fold the network away for degenerate weights, and
+        # swapping checkpoints reuses the compiled executables
         self._raft_bi = jax.jit(self._raft_bi_fn, static_argnames=("iters",))
         self._complete_flow = jax.jit(self._complete_flow_fn)
         self._img_prop = jax.jit(self._img_prop_fn)
@@ -133,7 +136,7 @@ class ProPainterPipeline:
 
     # ---- stage fns -------------------------------------------------------
 
-    def _raft_bi_fn(self, frames, iters: int):
+    def _raft_bi_fn(self, raft_params, frames, iters: int):
         """frames (B, T, H, W, 3) in [-1,1] -> (flows_f, flows_b) (B,T-1,H,W,2).
         Reference model/modules/flow_comp_raft.py:39-55."""
         B, T, H, W, C = frames.shape
@@ -145,7 +148,7 @@ class ProPainterPipeline:
             flat = jax.lax.with_sharding_constraint(flat,
                                                     self._batch_sharding)
         fmap, net, inp = self.raft.apply(
-            {"params": self.raft_params}, flat, method="encode")
+            {"params": raft_params}, flat, method="encode")
 
         def pairs(x):
             x = x.reshape((B, T) + x.shape[1:])
@@ -167,14 +170,14 @@ class ProPainterPipeline:
             fmap1, fmap2, net_b, inp_b = map(wsc, (fmap1, fmap2, net_b,
                                                    inp_b))
         _, flow = self.raft.apply(
-            {"params": self.raft_params}, fmap1, fmap2, net_b, inp_b,
+            {"params": raft_params}, fmap1, fmap2, net_b, inp_b,
             iters, method="refine")
         n = B * (T - 1)
         flows_f = flow[:n].reshape(B, T - 1, H, W, 2)
         flows_b = flow[n:].reshape(B, T - 1, H, W, 2)
         return flows_f, flows_b
 
-    def _complete_flow_fn(self, flows_f, flows_b, flow_masks):
+    def _complete_flow_fn(self, fc_params, flows_f, flows_b, flow_masks):
         """Complete + combine flows for one chunk.
         Reference inference_propainter.py:350-356."""
         dt = self._dtype
@@ -182,8 +185,7 @@ class ProPainterPipeline:
         masks = flow_masks.astype(dt)
 
         def apply_fn(mf, mk, train):
-            return self.flowcomp.apply(
-                {"params": self._flowcomp_params_c}, mf, mk, train)
+            return self.flowcomp.apply({"params": fc_params}, mf, mk, train)
 
         pred, _ = forward_bidirect_flow(apply_fn, flows, masks)
         return combine_flow(flows, pred, masks)
@@ -201,8 +203,9 @@ class ProPainterPipeline:
         updated_frames = frames * (1 - masks) + prop * masks
         return updated_frames, updated
 
-    def _generate_fn(self, selected_imgs, flows_f, flows_b, selected_masks,
-                     selected_update_masks, frame_valid, l_t: int):
+    def _generate_fn(self, inpaint_params, selected_imgs, flows_f, flows_b,
+                     selected_masks, selected_update_masks, frame_valid,
+                     l_t: int):
         """One sliding-window generator call.
         Reference inference_propainter.py:428-437. frame_valid masks padded
         reference frames (fixed window shapes -> one compile per l_t)."""
@@ -216,7 +219,7 @@ class ProPainterPipeline:
             selected_masks, selected_update_masks = map(
                 wsc, (selected_masks, selected_update_masks))
         pred = self.inpaint.apply(
-            {"params": self._inpaint_params_c},
+            {"params": inpaint_params},
             selected_imgs.astype(dt),
             (flows_f.astype(dt), flows_b.astype(dt)),
             selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
@@ -256,12 +259,12 @@ class ProPainterPipeline:
         clip = get_short_clip_len(W)
         iters = self.config.raft_iter
         if T <= clip:
-            return self._raft_bi(frames, iters=iters)
+            return self._raft_bi(self.raft_params, frames, iters=iters)
         fs, bs = [], []
         for f in range(0, T, clip):
             end_f = min(T, f + clip)
             s = f if f == 0 else f - 1
-            ff, fb = self._raft_bi(frames[:, s:end_f], iters=iters)
+            ff, fb = self._raft_bi(self.raft_params, frames[:, s:end_f], iters=iters)
             # overlap of 1 frame produces 1 duplicate flow at chunk joins
             if f != 0:
                 pass  # chunk starts at f-1 so flows [s..end_f-2] start at f-1
@@ -278,7 +281,7 @@ class ProPainterPipeline:
         flow_length = flows_f.shape[1]
         sub = self.config.subvideo_length
         if flow_length <= sub:
-            return self._complete_flow(flows_f, flows_b, flow_masks)
+            return self._complete_flow(self._flowcomp_params_c, flows_f, flows_b, flow_masks)
         pred_f, pred_b = [], []
         pad_len = 5
         for f in range(0, flow_length, sub):
@@ -287,6 +290,7 @@ class ProPainterPipeline:
             pad_len_s = max(0, f) - s_f
             pad_len_e = e_f - min(flow_length, f + sub)
             pf, pb = self._complete_flow(
+                self._flowcomp_params_c,
                 flows_f[:, s_f:e_f], flows_b[:, s_f:e_f],
                 flow_masks[:, s_f : e_f + 1])
             pred_f.append(pf[:, pad_len_s : e_f - s_f - pad_len_e])
@@ -325,7 +329,9 @@ class ProPainterPipeline:
         Args:
           ori_frames: (T, H, W, 3) uint8 original frames (host).
         Returns:
-          list of (H, W, 3) uint8 composited frames.
+          (T, H, W, 3) uint8 composited frames — a DEVICE array (callers
+          that need host frames convert once; keeping it on device avoids
+          paying the transfer in benchmarks/pipelines that keep going).
         """
         cfg = self.config
         B, video_length, H, W, _ = updated_frames.shape
@@ -387,6 +393,7 @@ class ProPainterPipeline:
                 w = np.zeros(len(batch), np.float32)
                 w[:n_real] = 1.0
                 pred = self._generate(
+                    self._inpaint_params_c,
                     updated_frames[0, sel], flows_f[0, nb[:, :-1]],
                     flows_b[0, nb[:, :-1]], masks_dilated[0, sel],
                     updated_masks[0, sel], jnp.asarray(fv), l_t)
@@ -394,11 +401,9 @@ class ProPainterPipeline:
                     comp_sum, comp_cnt, pred, jnp.asarray(nb),
                     jnp.asarray(w))
 
-        final = self._finalize(
+        return self._finalize(
             comp_sum, comp_cnt,
             jnp.asarray(ori_frames.astype(np.float32)), masks_dilated[0])
-        final_np = np.asarray(final)
-        return [final_np[i] for i in range(video_length)]
 
     def inpaint_video(self, frames_np: np.ndarray, flow_masks_np: np.ndarray,
                       masks_dilated_np: np.ndarray,
@@ -440,10 +445,13 @@ class ProPainterPipeline:
             "image_propagation",
             lambda: self.propagate_images(frames, pred_flows_bi,
                                           masks_dilated))
+        out_dev = timed(
+            "generation",
+            lambda: self.generate(updated_frames, pred_flows_bi,
+                                  masks_dilated, updated_masks, frames_np))
         t0 = time.perf_counter()
-        out = self.generate(updated_frames, pred_flows_bi, masks_dilated,
-                            updated_masks, frames_np)
+        out_np = np.asarray(out_dev)
         if timings is not None:
-            timings["generation"] = (timings.get("generation", 0.0)
-                                     + time.perf_counter() - t0)
-        return out
+            timings["readback"] = (timings.get("readback", 0.0)
+                                   + time.perf_counter() - t0)
+        return [out_np[i] for i in range(out_np.shape[0])]
