@@ -104,7 +104,10 @@ def main():
         pred = pipe.complete_flows(gt, masks)
         upd_frames, upd_masks = pipe.propagate_images(frames, pred, masks)
         out = pipe.generate(upd_frames, pred, masks, upd_masks, frames_np)
-        jax.block_until_ready(out)
+        # hard sync: on the axon tunnel, block_until_ready returns before
+        # device completion — only a host readback truly synchronizes.
+        # Fetch one pixel (needs the whole output buffer materialized).
+        np.asarray(out[0, 0, 0])
         return out
 
     run()  # warmup: compiles every stage executable (persistent-cached)

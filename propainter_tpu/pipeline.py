@@ -434,6 +434,9 @@ class ProPainterPipeline:
             out = fn()
             jax.block_until_ready(out)
             if timings is not None:
+                # 1-element readback: block_until_ready alone does not await
+                # device completion on remote/tunneled backends
+                np.asarray(jax.tree.leaves(out)[0].ravel()[0])
                 timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
             return out
 
