@@ -96,7 +96,7 @@ def modulated_deform_conv2d_mxu(
     mask: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
-    row_chunk: int = 8,
+    row_chunk: int | None = None,
 ) -> jnp.ndarray:
     """`modulated_deform_conv2d` with the bilinear gather expressed as
     separable interpolation matmuls (MXU) instead of gathers (slow on TPU).
@@ -117,6 +117,13 @@ def modulated_deform_conv2d_mxu(
     _, Ho, Wo, dg, Koff, _ = offset.shape
     assert Koff == K and Ho == H and Wo == W
     Cg = C // dg
+
+    if row_chunk is None:
+        # fewer, larger chunks = fewer sequential sub-steps inside scans
+        # (measured 2x on the flow-completion net); bound the tmp
+        # interpolation buffer (BG, K, rc*Wo, W, Cg) to ~1 GB
+        per_row = B * dg * K * Wo * W * Cg * x.dtype.itemsize
+        row_chunk = int(min(Ho, max(8, (1 << 30) // max(per_row, 1))))
 
     # base tap positions (stride 1, pad 1, dil 1)
     ky = jnp.arange(kh, dtype=x.dtype) - 1.0
