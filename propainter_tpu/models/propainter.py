@@ -641,7 +641,8 @@ class InpaintGenerator(nn.Module):
     @nn.compact
     def __call__(self, masked_frames, completed_flows, masks_in,
                  masks_updated, num_local_frames: int, train: bool = False,
-                 t_dilation: int = 2, frame_valid=None):
+                 t_dilation: int = 2, frame_valid=None,
+                 precomputed_enc_feat=None):
         """
         Args:
           masked_frames: (B, T, H, W, 3) in [-1, 1] (holes already updated by
@@ -660,12 +661,19 @@ class InpaintGenerator(nn.Module):
         l_t = num_local_frames
         B, T, ori_h, ori_w, _ = masked_frames.shape
 
-        enc_in = jnp.concatenate(
-            [masked_frames, masks_in, masks_updated], axis=-1)
-        enc_feat = Encoder(name="encoder")(
-            enc_in.reshape(B * T, ori_h, ori_w, 5))
-        _, h, w, c = enc_feat.shape
-        enc_feat = enc_feat.reshape(B, T, h, w, c)
+        if precomputed_enc_feat is not None:
+            # the encoder is strictly per-frame: the pipeline encodes every
+            # video frame ONCE and gathers per window (sliding windows
+            # otherwise re-encode each frame up to 4x, like the reference)
+            enc_feat = precomputed_enc_feat
+            _, _, h, w, c = enc_feat.shape
+        else:
+            enc_in = jnp.concatenate(
+                [masked_frames, masks_in, masks_updated], axis=-1)
+            enc_feat = Encoder(name="encoder")(
+                enc_in.reshape(B * T, ori_h, ori_w, 5))
+            _, h, w, c = enc_feat.shape
+            enc_feat = enc_feat.reshape(B, T, h, w, c)
         local_feat = enc_feat[:, :l_t]
         ref_feat = enc_feat[:, l_t:]
         fold_feat_size = (h, w)

@@ -33,7 +33,8 @@ from propainter_tpu.models.flow_completion import (
     forward_bidirect_flow,
     combine_flow,
 )
-from propainter_tpu.models.propainter import InpaintGenerator, image_propagation
+from propainter_tpu.models.propainter import (
+    Encoder, InpaintGenerator, image_propagation)
 
 
 def get_short_clip_len(width: int) -> int:
@@ -133,6 +134,7 @@ class ProPainterPipeline:
             self._generate_fn, static_argnames=("l_t",))
         self._accumulate = jax.jit(self._accumulate_fn, donate_argnums=(0, 1))
         self._finalize = jax.jit(self._finalize_fn)
+        self._encode_all = jax.jit(self._encode_all_fn)
 
     # ---- stage fns -------------------------------------------------------
 
@@ -203,9 +205,23 @@ class ProPainterPipeline:
         updated_frames = frames * (1 - masks) + prop * masks
         return updated_frames, updated
 
+    def _encode_all_fn(self, inpaint_params, frames, masks_in,
+                       masks_updated):
+        """Encode every frame ONCE (the encoder is per-frame; sliding
+        windows would otherwise re-encode each frame up to 4x, as the
+        reference does). Returns (B, T, h, w, c) features."""
+        dt = self._dtype
+        B, T, H, W, _ = frames.shape
+        enc_in = jnp.concatenate(
+            [frames.astype(dt), masks_in.astype(dt),
+             masks_updated.astype(dt)], axis=-1)
+        feat = Encoder().apply({"params": inpaint_params["encoder"]},
+                               enc_in.reshape(B * T, H, W, 5))
+        return feat.reshape((B, T) + feat.shape[1:])
+
     def _generate_fn(self, inpaint_params, selected_imgs, flows_f, flows_b,
                      selected_masks, selected_update_masks, frame_valid,
-                     l_t: int):
+                     enc_feat, l_t: int):
         """One sliding-window generator call.
         Reference inference_propainter.py:428-437. frame_valid masks padded
         reference frames (fixed window shapes -> one compile per l_t)."""
@@ -223,7 +239,7 @@ class ProPainterPipeline:
             selected_imgs.astype(dt),
             (flows_f.astype(dt), flows_b.astype(dt)),
             selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
-            frame_valid=frame_valid)
+            frame_valid=frame_valid, precomputed_enc_feat=enc_feat)
         return pred.astype(jnp.float32)
 
     @staticmethod
@@ -354,6 +370,9 @@ class ProPainterPipeline:
         comp_cnt = jnp.zeros((video_length, 1, 1, 1), jnp.float32)
         flows_f, flows_b = pred_flows_bi
         assert B == 1, "stage 4 batches windows over the batch axis"
+        # NOTE: one-shot whole-video encoding + per-window feature gather
+        # measured SLOWER than re-encoding inside each window executable
+        # (materialize+gather beats fused redundant encodes) — see PERF.md.
 
         # build all windows, then group same-shape windows into batched calls
         windows = []  # (neighbor_ids, sel, frame_valid)
@@ -396,7 +415,8 @@ class ProPainterPipeline:
                     self._inpaint_params_c,
                     updated_frames[0, sel], flows_f[0, nb[:, :-1]],
                     flows_b[0, nb[:, :-1]], masks_dilated[0, sel],
-                    updated_masks[0, sel], jnp.asarray(fv), l_t)
+                    updated_masks[0, sel], jnp.asarray(fv),
+                    None, l_t)
                 comp_sum, comp_cnt = self._accumulate(
                     comp_sum, comp_cnt, pred, jnp.asarray(nb),
                     jnp.asarray(w))
