@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def unfold_output_size(size: int, kernel: int, stride: int, padding: int) -> int:
@@ -96,3 +97,66 @@ def fold(
     out = jnp.zeros((B, H + 2 * ph, W + 2 * pw, C), y.dtype)
     out = out.at[:, row_idx].add(tmp)
     return out[:, ph : ph + H, pw : pw + W]
+
+
+def _unfold_conv_kernel(kernel_size, C, dtype):
+    """Depthwise one-hot kernel: conv(x, K, groups=C) == unfold(x)."""
+    kh, kw = kernel_size
+    block = np.zeros((kh, kw, 1, kh * kw), np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            block[i, j, 0, i * kw + j] = 1.0
+    return jnp.asarray(np.tile(block, (1, 1, 1, C)), dtype)
+
+
+def _fold_conv_kernel(kernel_size, C, dtype):
+    """Spatially-flipped depthwise one-hot kernel for the fold adjoint."""
+    kh, kw = kernel_size
+    k = np.zeros((kh, kw, kh * kw, 1), np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            k[i, j, (kh - 1 - i) * kw + (kw - 1 - j), 0] = 1.0
+    return jnp.asarray(np.tile(k, (1, 1, 1, C)), dtype)
+
+
+def unfold_conv(x, kernel_size, stride, padding):
+    """`unfold` as a depthwise one-hot convolution (MXU path — avoids the
+    strided gather, which is slow on TPU). Identical output/order."""
+    B, H, W, C = x.shape
+    kh, kw = kernel_size
+    Ho = unfold_output_size(H, kh, stride[0], padding[0])
+    Wo = unfold_output_size(W, kw, stride[1], padding[1])
+    rhs = _unfold_conv_kernel(kernel_size, C, x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, rhs, stride, [(padding[0], padding[0]), (padding[1], padding[1])],
+        feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.reshape(B, Ho * Wo, C * kh * kw)
+
+
+def fold_conv(y, output_size, kernel_size, stride, padding):
+    """`fold` as a depthwise transposed convolution (lhs-dilated one-hot
+    conv — replaces the scatter-add adjoint with an MXU op). Identical
+    output."""
+    B, L, CK = y.shape
+    H, W = output_size
+    kh, kw = kernel_size
+    sh, sw = stride
+    ph, pw = padding
+    C = CK // (kh * kw)
+    Ho = unfold_output_size(H, kh, sh, ph)
+    Wo = unfold_output_size(W, kw, sw, pw)
+    assert L == Ho * Wo
+
+    img = y.reshape(B, Ho, Wo, CK)
+    rhs = _fold_conv_kernel(kernel_size, C, y.dtype)
+    t = jax.lax.conv_general_dilated(
+        img, rhs, (1, 1), [(kh - 1, kh - 1), (kw - 1, kw - 1)],
+        lhs_dilation=(sh, sw), feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # t covers the span (Ho-1)*s + k of the padded output; the padded output
+    # is H + 2p rows — zero-extend the uncovered tail, then crop the padding
+    Hp, Wp = H + 2 * ph, W + 2 * pw
+    t = jnp.pad(t, ((0, 0), (0, Hp - t.shape[1]), (0, Wp - t.shape[2]),
+                    (0, 0)))
+    return t[:, ph : ph + H, pw : pw + W]

@@ -131,8 +131,8 @@ class ProPainterPipeline:
         self._complete_flow = jax.jit(self._complete_flow_fn)
         self._img_prop = jax.jit(self._img_prop_fn)
         self._generate = jax.jit(
-            self._generate_fn, static_argnames=("l_t",))
-        self._accumulate = jax.jit(self._accumulate_fn, donate_argnums=(0, 1))
+            self._generate_fn, static_argnames=("l_t",),
+            donate_argnums=(1, 2))
         self._finalize = jax.jit(self._finalize_fn)
         self._encode_all = jax.jit(self._encode_all_fn)
 
@@ -219,10 +219,13 @@ class ProPainterPipeline:
                                enc_in.reshape(B * T, H, W, 5))
         return feat.reshape((B, T) + feat.shape[1:])
 
-    def _generate_fn(self, inpaint_params, selected_imgs, flows_f, flows_b,
+    def _generate_fn(self, inpaint_params, comp_sum, comp_cnt,
+                     selected_imgs, flows_f, flows_b,
                      selected_masks, selected_update_masks, frame_valid,
-                     enc_feat, l_t: int):
-        """One sliding-window generator call.
+                     ids, w, l_t: int):
+        """One sliding-window generator call, fused with the compositing
+        accumulation (one dispatch per window — each jit call costs ~30 ms
+        RTT over the axon tunnel).
         Reference inference_propainter.py:428-437. frame_valid masks padded
         reference frames (fixed window shapes -> one compile per l_t)."""
         dt = self._dtype
@@ -239,8 +242,9 @@ class ProPainterPipeline:
             selected_imgs.astype(dt),
             (flows_f.astype(dt), flows_b.astype(dt)),
             selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
-            frame_valid=frame_valid, precomputed_enc_feat=enc_feat)
-        return pred.astype(jnp.float32)
+            frame_valid=frame_valid)
+        return self._accumulate_fn(comp_sum, comp_cnt,
+                                   pred.astype(jnp.float32), ids, w)
 
     @staticmethod
     def _accumulate_fn(comp_sum, comp_cnt, pred, ids, w):
@@ -411,15 +415,12 @@ class ProPainterPipeline:
 
                 w = np.zeros(len(batch), np.float32)
                 w[:n_real] = 1.0
-                pred = self._generate(
-                    self._inpaint_params_c,
+                comp_sum, comp_cnt = self._generate(
+                    self._inpaint_params_c, comp_sum, comp_cnt,
                     updated_frames[0, sel], flows_f[0, nb[:, :-1]],
                     flows_b[0, nb[:, :-1]], masks_dilated[0, sel],
                     updated_masks[0, sel], jnp.asarray(fv),
-                    None, l_t)
-                comp_sum, comp_cnt = self._accumulate(
-                    comp_sum, comp_cnt, pred, jnp.asarray(nb),
-                    jnp.asarray(w))
+                    jnp.asarray(nb), jnp.asarray(w), l_t)
 
         return self._finalize(
             comp_sum, comp_cnt,

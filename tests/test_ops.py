@@ -264,3 +264,31 @@ class TestDeformMXU:
             modulated_deform_conv2d_mxu(x, offset, mask, weight, bias,
                                         row_chunk=4))
         np.testing.assert_allclose(mxu, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestPatchConvForms:
+    def test_unfold_conv_matches(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.patches import unfold, unfold_conv
+
+        for H, W, C, k, s, p in [(14, 22, 6, (7, 7), (3, 3), (3, 3)),
+                                 (9, 11, 4, (3, 3), (2, 2), (1, 1))]:
+            x = jnp.asarray(rng.standard_normal((2, H, W, C), np.float32))
+            a = np.asarray(unfold(x, k, s, p))
+            b = np.asarray(unfold_conv(x, k, s, p))
+            np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+    def test_fold_conv_matches(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.patches import (
+            fold, fold_conv, unfold_output_size)
+
+        for H, W, C, k, s, p in [(14, 22, 6, (7, 7), (3, 3), (3, 3)),
+                                 (9, 11, 4, (3, 3), (2, 2), (1, 1))]:
+            Ho = unfold_output_size(H, k[0], s[0], p[0])
+            Wo = unfold_output_size(W, k[1], s[1], p[1])
+            y = jnp.asarray(rng.standard_normal(
+                (2, Ho * Wo, C * k[0] * k[1]), np.float32))
+            a = np.asarray(fold(y, (H, W), k, s, p))
+            b = np.asarray(fold_conv(y, (H, W), k, s, p))
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
