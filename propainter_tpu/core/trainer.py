@@ -272,12 +272,15 @@ def make_propainter_train_step(
             gen_params=gen_params, gen_opt=gen_opt,
             dis_params=dis_params, dis_stats=dis_stats, dis_opt=dis_opt)
         # viz arrays stay on device; the CLI only fetches them at viz_freq
-        # (reference core/trainer.py:449-478 logs image/flow grids)
+        # (reference core/trainer.py:449-478 logs image/flow grids).
+        # Full-batch tensors: slicing [:1] would force a resharding
+        # collective on a batch-sharded mesh (deadlocks XLA's in-process
+        # CPU AllToAll on starved hosts); the CLI takes row 0 on the host.
         viz = {
-            "comp_local": comp_imgs[:1, :l_t],
-            "masked_local": masked_frames[:1, :l_t],
-            "gt_local": gt_local[:1],
-            "pred_flow_f": pred_flows_bi[0][:1],
+            "comp_local": comp_imgs[:, :l_t],
+            "masked_local": masked_frames[:, :l_t],
+            "gt_local": gt_local,
+            "pred_flow_f": pred_flows_bi[0],
         }
         return new_state, metrics, viz
 
@@ -375,9 +378,9 @@ def make_flow_train_step(config: FlowTrainConfig, tx, raft_iters: int = 20,
                      + config.edge_weight * el)
             return total, ({"flow_loss": fl, "warp_loss": warp,
                             "edge_loss": el},
-                           {"pred_flow_f": pred_flows_bi[0][:1],
-                            "gt_flow_f": gt_flows_bi[0][:1],
-                            "pred_edge_f": pred_edges_bi[0][:1]})
+                           {"pred_flow_f": pred_flows_bi[0],
+                            "gt_flow_f": gt_flows_bi[0],
+                            "pred_edge_f": pred_edges_bi[0]})
 
         (loss, (metrics, viz)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
