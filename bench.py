@@ -41,15 +41,19 @@ def build_pipeline(precision: str):
     def shapes_to_random(tree):
         """Random small weights — NOT zeros: with zero weights every conv
         outputs its (zero) bias and XLA constant-folds whole networks,
-        benchmarking an empty graph."""
-        leaves, treedef = jax.tree.flatten(tree)
-        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
-        vals = [
-            (jax.random.normal(k, s.shape, s.dtype) * 0.02
-             if jnp.issubdtype(s.dtype, jnp.floating)
-             else jnp.zeros(s.shape, s.dtype))
-            for k, s in zip(keys, leaves)
-        ]
+        benchmarking an empty graph. Variance-like params (FrozenBatchNorm
+        'var') must stay positive or rsqrt(var+eps) turns the whole RAFT
+        output NaN."""
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        keys = jax.random.split(jax.random.PRNGKey(42), len(paths_leaves))
+        vals = []
+        for k, (path, s) in zip(keys, paths_leaves):
+            if not jnp.issubdtype(s.dtype, jnp.floating):
+                vals.append(jnp.zeros(s.shape, s.dtype))
+            elif str(path[-1]) == "['var']":
+                vals.append(jax.random.uniform(k, s.shape, s.dtype, 0.5, 1.5))
+            else:
+                vals.append(jax.random.normal(k, s.shape, s.dtype) * 0.02)
         return jax.tree.unflatten(treedef, vals)
 
     # eval_shape: abstract init — no compile, no device work

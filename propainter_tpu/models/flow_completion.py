@@ -67,7 +67,11 @@ class SecondOrderDeformableAlignment(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (3, 3, 2 * c, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        # separable-matmul (MXU) formulation — gathers are slow on TPU
+        # separable-matmul (MXU) formulation — gathers are slow on TPU.
+        # NOTE: the static-band formulation (modulated_deform_conv2d_banded,
+        # valid here since offsets are 5*tanh with no flow term) does ~70x
+        # fewer FLOPs but measured 3x SLOWER (PERF.md) — the D^2 shifted-copy
+        # stack and tiny-contraction einsums lose to one dense MXU matmul.
         return modulated_deform_conv2d_mxu(x, offset, mask, kernel, bias)
 
 

@@ -37,8 +37,10 @@ from propainter_tpu.ops.deform import (
     split_offset_mask_channels,
 )
 from propainter_tpu.ops.interp import resize, max_pool2d
-from propainter_tpu.ops.patches import unfold, fold, unfold_output_size
-from propainter_tpu.ops.warp import flow_warp, fb_consistency_check
+from propainter_tpu.ops.patches import (
+    unfold_output_size, fold_matmul, overlap_renorm)
+from propainter_tpu.ops.warp import (
+    flow_warp, fb_consistency_check, fb_consistency_from_warped)
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +107,30 @@ STRIDE = (3, 3)
 PADDING = (3, 3)
 
 
+class _PatchEmbed(nn.Module):
+    """Dense over unfolded patches, computed as ONE strided conv (the im2col
+    identity) — skips materializing the (B*T, L, C*49) unfold buffer.
+    Params keep the Dense layout ((C*kh*kw, hidden), (hidden,)) so converted
+    checkpoints and existing param trees are unchanged."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        BT, H, W, C = x.shape
+        kh, kw = KERNEL
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (C * kh * kw, self.hidden))
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,))
+        # unfold channel order is c-major tap-minor: row index = c*49+i*7+j
+        w = kernel.reshape(C, kh, kw, self.hidden).transpose(1, 2, 0, 3)
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), STRIDE,
+            [(PADDING[0], PADDING[0]), (PADDING[1], PADDING[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(x.dtype)
+
+
 class SoftSplit(nn.Module):
     """Overlapping-patch tokenizer. Reference sparse_transformer.py:7-31."""
 
@@ -114,8 +140,7 @@ class SoftSplit(nn.Module):
     def __call__(self, x, b, output_size):
         f_h = unfold_output_size(output_size[0], KERNEL[0], STRIDE[0], PADDING[0])
         f_w = unfold_output_size(output_size[1], KERNEL[1], STRIDE[1], PADDING[1])
-        feat = unfold(x, KERNEL, STRIDE, PADDING)  # (B*T, L, C*49)
-        feat = nn.Dense(self.hidden, name="embedding")(feat)
+        feat = _PatchEmbed(self.hidden, name="embedding")(x)
         return feat.reshape(b, -1, f_h, f_w, self.hidden)
 
 
@@ -131,7 +156,7 @@ class SoftComp(nn.Module):
         c_out = KERNEL[0] * KERNEL[1] * self.channel
         feat = nn.Dense(c_out, name="embedding")(x.reshape(b, -1, x.shape[-1]))
         feat = feat.reshape(b * t, -1, c_out)
-        feat = fold(feat, output_size, KERNEL, STRIDE, PADDING)
+        feat = fold_matmul(feat, output_size, KERNEL, STRIDE, PADDING)
         return conv2d(self.channel, 3, 1, 1, name="bias_conv")(feat)
 
 
@@ -154,13 +179,11 @@ class FusionFeedForward(nn.Module):
         ) * unfold_output_size(output_size[1], KERNEL[1], STRIDE[1], PADDING[1])
         x = nn.Dense(self.hidden_dim, name="fc1_0")(x)
         b, n, c = x.shape
-        ks = KERNEL[0] * KERNEL[1]
 
+        # fold -> divide-by-coverage -> unfold is a separable linear op:
+        # two small matmuls instead of a 1960-channel scatter-add round-trip
         x = x.reshape(-1, n_vecs, c)
-        folded = fold(x, output_size, KERNEL, STRIDE, PADDING)
-        ones = jnp.ones((1, n_vecs, ks), x.dtype)
-        norm = fold(ones, output_size, KERNEL, STRIDE, PADDING)
-        x = unfold(folded / norm, KERNEL, STRIDE, PADDING)
+        x = overlap_renorm(x, output_size, KERNEL, STRIDE, PADDING)
         x = x.reshape(b, n, c)
         x = jax.nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, name="fc2_1")(x)
@@ -484,9 +507,19 @@ def image_propagation(x, flows_forward, flows_backward, mask,
         def step(carry, xs):
             i, feat_prop, mask_prop = carry
             feat_current, mask_current, flow_prop, flow_check = xs
-            flow_valid = fb_consistency_check(flow_prop, flow_check)
-            feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
-            mask_prop_valid = binary_mask(flow_warp(mask_prop, flow_prop))
+            # all three warps share the same grid (flow_prop): batch the
+            # bilinear ones into ONE gather (gathers dominate warp cost)
+            bundle = [flow_check, mask_prop]
+            if interpolation == "bilinear":
+                bundle.append(feat_prop)
+            warped = flow_warp(jnp.concatenate(bundle, axis=-1), flow_prop)
+            flow_valid = fb_consistency_from_warped(flow_prop,
+                                                    warped[..., :2])
+            mask_prop_valid = binary_mask(warped[..., 2:3])
+            if interpolation == "bilinear":
+                feat_warped = warped[..., 3:]
+            else:
+                feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
 
             union = binary_mask(
                 mask_current * flow_valid * (1 - mask_prop_valid))
@@ -560,8 +593,11 @@ class _FeatPropStep(nn.Module):
         feat_current, mask_current, flow_prop, flow_check = xs
         c = self.channel
 
-        flow_valid = fb_consistency_check(flow_prop, flow_check)
-        feat_warped = flow_warp(feat_prop, flow_prop, "bilinear")
+        # fb-check warp + feature warp share the same grid: one gather
+        warped = flow_warp(
+            jnp.concatenate([flow_check, feat_prop], axis=-1), flow_prop)
+        flow_valid = fb_consistency_from_warped(flow_prop, warped[..., :2])
+        feat_warped = warped[..., 2:]
         cond = jnp.concatenate(
             [feat_current, feat_warped, flow_prop, flow_valid, mask_current],
             axis=-1)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from propainter_tpu.ops.warp import _gather2d
 
@@ -182,6 +183,83 @@ def modulated_deform_conv2d_mxu(
     sampled = vals * mask[..., None]  # mask (B, Ho, Wo, dg, K)
     # -> (B, Ho, Wo, K, dg, Cg) -> (B, Ho, Wo, K*C); channel = g*Cg + cg
     sampled = sampled.transpose(0, 1, 2, 4, 3, 5).reshape(B, Ho, Wo, K * C)
+    w = weight.reshape(K, C, O).reshape(K * C, O)
+    out = jnp.einsum("bhwk,ko->bhwo", sampled, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def modulated_deform_conv2d_banded(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    band: int = 8,
+) -> jnp.ndarray:
+    """`modulated_deform_conv2d` for BOUNDED offsets: bilinear sampling as a
+    static (2*band)-wide shift-and-accumulate instead of dense H/W
+    interpolation matmuls.
+
+    Every sample position is (y + ky + dy, x + kx + dx) with tap offsets
+    ky/kx in {-1,0,1}; when |offset| <= band - 2 the displacement from the
+    output position lies in [-(band-1), band-1], so the bilinear weights are
+    nonzero only on a static window of 2*band shifted copies of the input —
+    ~70x fewer FLOPs than the dense H/W one-hot contraction for the
+    flow-completion net (offsets are 5*tanh, model/recurrent_flow_completion
+    .py:30-38; its deform conv has NO flow term, unlike the generator's).
+
+    stride=1, padding=1, dilation=1; layouts as modulated_deform_conv2d.
+    Zeros-outside-image semantics preserved (zero padding).
+    """
+    B, H, W, C = x.shape
+    kh, kw, Cw, O = weight.shape
+    assert Cw == C
+    K = kh * kw
+    _, Ho, Wo, dg, Koff, _ = offset.shape
+    assert Koff == K and Ho == H and Wo == W
+    Cg = C // dg
+    D = 2 * band  # displacements d - (band - 1) for d in [0, D)
+
+    # displacement of each sample from its output position
+    ky = jnp.asarray(np.repeat(np.arange(kh) - 1, kw), x.dtype)  # (K,)
+    kx = jnp.asarray(np.tile(np.arange(kw) - 1, kh), x.dtype)
+    rel_y = offset[..., 0] + ky  # (B, H, W, dg, K)
+    rel_x = offset[..., 1] + kx
+
+    def g_major(a):  # (B, H, W, dg, K) -> (B*dg, H, W, K)
+        return a.transpose(0, 3, 1, 2, 4).reshape(B * dg, H, W, K)
+
+    rel_y = g_major(rel_y)
+    rel_x = g_major(rel_x)
+    d_vals = jnp.asarray(np.arange(D) - (band - 1), x.dtype)
+
+    x_g = (x.reshape(B, H, W, dg, Cg).transpose(0, 3, 1, 2, 4)
+           .reshape(B * dg, H, W, Cg))
+
+    # Both interpolation weights belong to the OUTPUT position (y, x), so
+    # the value read for (dy, dx) is x[y+dy, x+dx]: build all D*D shifted
+    # views (static slices of one padded buffer), then contract dy and dx in
+    # two stages (the dx-shift index rides through the first contraction).
+    wy = jax.nn.relu(1.0 - jnp.abs(rel_y[..., None] - d_vals))  # (BG,H,W,K,D)
+    wx = jax.nn.relu(1.0 - jnp.abs(rel_x[..., None] - d_vals))
+    xpad = jnp.pad(
+        x_g, ((0, 0), (band - 1, band), (band - 1, band), (0, 0)))
+    xe = jnp.stack([xpad[:, :, e : e + W] for e in range(D)], axis=0)
+    xde = jnp.stack([xe[:, :, d : d + H] for d in range(D)], axis=0)
+    # (D_dy, D_dx, BG, H, W, Cg)
+    tmp = jnp.einsum("ghwkd,deghwc->eghwkc", wy, xde,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    val = jnp.einsum("ghwke,eghwkc->ghwkc", wx, tmp,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+
+    vals = val.reshape(B, dg, H, W, K, Cg)
+    m = mask.transpose(0, 3, 1, 2, 4)  # (B, dg, Ho, Wo, K)
+    sampled = vals * m[..., None]
+    # -> (B, Ho, Wo, K, dg, Cg) -> (B, Ho, Wo, K*C); channel = g*Cg + cg
+    sampled = sampled.transpose(0, 2, 3, 4, 1, 5).reshape(B, Ho, Wo, K * C)
     w = weight.reshape(K, C, O).reshape(K * C, O)
     out = jnp.einsum("bhwk,ko->bhwo", sampled, w,
                      preferred_element_type=jnp.float32).astype(x.dtype)

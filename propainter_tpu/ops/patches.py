@@ -99,6 +99,101 @@ def fold(
     return out[:, ph : ph + H, pw : pw + W]
 
 
+def _renorm_matrix_1d(out_len: int, n_patches: int, kernel: int,
+                      stride: int, padding: int) -> np.ndarray:
+    """1-D operator M[(H,i),(P,p)] for `unfold(fold(x)/fold(ones))` along one
+    spatial dim: input tap (patch H, tap i) contributes to output tap
+    (patch P, tap p) iff both land on the same real (non-padding) pixel,
+    scaled by 1/(#taps covering that pixel)."""
+    pix = (np.arange(n_patches)[:, None] * stride
+           + np.arange(kernel)[None, :]).reshape(-1)  # padded coords
+    real = (pix >= padding) & (pix < padding + out_len)
+    cnt = np.bincount(pix[real], minlength=pix.max() + 1)
+    M = (pix[:, None] == pix[None, :]).astype(np.float32)
+    M *= (real[:, None] & real[None, :])
+    M /= np.maximum(cnt[pix], 1)[None, :]
+    return M.reshape(n_patches, kernel, n_patches, kernel)
+
+
+def _fold_matrix_1d(out_len: int, n_patches: int, kernel: int, stride: int,
+                    padding: int) -> np.ndarray:
+    """1-D fold operator F[(P,p), r]: tap (patch P, tap p) sums into real
+    pixel r (padding taps dropped)."""
+    pix = (np.arange(n_patches)[:, None] * stride
+           + np.arange(kernel)[None, :]) - padding  # real coords
+    F = np.zeros((n_patches, kernel, out_len), np.float32)
+    P, p = np.nonzero((pix >= 0) & (pix < out_len))
+    F[P, p, pix[P, p]] = 1.0
+    return F
+
+
+def overlap_renorm(
+    y: jnp.ndarray,
+    output_size: tuple[int, int],
+    kernel_size: tuple[int, int],
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """`unfold(fold(y) / fold(ones))` as two small dense matmuls.
+
+    The fold -> divide-by-coverage -> unfold chain (the reference's
+    FusionFeedForward renormalization, sparse_transformer.py:85-95) is a
+    LINEAR operator, separable per spatial dim because the coverage count
+    factorizes: cnt2d(y, x) = cnt_rows(y) * cnt_cols(x). Two (n_patches*k)^2
+    matmuls replace the scatter-add + gather round-trip (measured ~5x faster
+    on v5e — fold/unfold at 1960 channels is HBM-bound).
+
+    Args:
+      y: (B, L, C*kh*kw), torch unfold channel ordering.
+    Returns:
+      same shape/ordering, bit-equal to unfold(fold(y)/fold(ones)) up to fp
+      reassociation.
+    """
+    B, L, CK = y.shape
+    kh, kw = kernel_size
+    C = CK // (kh * kw)
+    Ho = unfold_output_size(output_size[0], kh, stride[0], padding[0])
+    Wo = unfold_output_size(output_size[1], kw, stride[1], padding[1])
+    assert L == Ho * Wo
+    Mr = jnp.asarray(_renorm_matrix_1d(
+        output_size[0], Ho, kh, stride[0], padding[0]), y.dtype)
+    Mc = jnp.asarray(_renorm_matrix_1d(
+        output_size[1], Wo, kw, stride[1], padding[1]), y.dtype)
+    x6 = y.reshape(B, Ho, Wo, C, kh, kw)
+    x6 = jnp.einsum("bHWcij,HiPp->bPWcpj", x6, Mr,
+                    preferred_element_type=jnp.float32).astype(y.dtype)
+    x6 = jnp.einsum("bPWcpj,WjQq->bPQcpq", x6, Mc,
+                    preferred_element_type=jnp.float32).astype(y.dtype)
+    return x6.reshape(B, L, CK)
+
+
+def fold_matmul(
+    y: jnp.ndarray,
+    output_size: tuple[int, int],
+    kernel_size: tuple[int, int],
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """`fold` as two small dense matmuls (row-combine then col-combine) —
+    replaces the scatter-add adjoint on the MXU. Identical output."""
+    B, L, CK = y.shape
+    H, W = output_size
+    kh, kw = kernel_size
+    C = CK // (kh * kw)
+    Ho = unfold_output_size(H, kh, stride[0], padding[0])
+    Wo = unfold_output_size(W, kw, stride[1], padding[1])
+    assert L == Ho * Wo
+    Fr = jnp.asarray(_fold_matrix_1d(H, Ho, kh, stride[0], padding[0]),
+                     y.dtype)
+    Fc = jnp.asarray(_fold_matrix_1d(W, Wo, kw, stride[1], padding[1]),
+                     y.dtype)
+    x6 = y.reshape(B, Ho, Wo, C, kh, kw)
+    t = jnp.einsum("bHWcij,HiR->bRWcj", x6, Fr,
+                   preferred_element_type=jnp.float32).astype(y.dtype)
+    return jnp.einsum("bRWcj,WjS->bRSc", t, Fc,
+                      preferred_element_type=jnp.float32).astype(y.dtype)
+
+
 def _unfold_conv_kernel(kernel_size, C, dtype):
     """Depthwise one-hot kernel: conv(x, K, groups=C) == unfold(x)."""
     kh, kw = kernel_size

@@ -266,6 +266,68 @@ class TestDeformMXU:
         np.testing.assert_allclose(mxu, ref, rtol=2e-4, atol=2e-4)
 
 
+class TestDeformBanded:
+    def test_matches_gather_deform_for_bounded_offsets(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import (
+            modulated_deform_conv2d, modulated_deform_conv2d_banded)
+
+        B, H, W, C, dg = 2, 11, 13, 16, 4
+        K = 9
+        x = jnp.asarray(rng.standard_normal((B, H, W, C), np.float32))
+        # flow-completion regime: offsets = 5*tanh(...), so |off| <= 5 < band-2
+        offset = jnp.asarray(
+            5.0 * np.tanh(rng.standard_normal((B, H, W, dg, K, 2))
+                          ).astype(np.float32))
+        mask = jnp.asarray(
+            rng.uniform(0, 1, (B, H, W, dg, K)).astype(np.float32))
+        weight = jnp.asarray(
+            rng.standard_normal((3, 3, C, 8)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+
+        ref = np.asarray(modulated_deform_conv2d(x, offset, mask, weight, bias))
+        banded = np.asarray(
+            modulated_deform_conv2d_banded(x, offset, mask, weight, bias,
+                                           band=8))
+        np.testing.assert_allclose(banded, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestPatchMatmulForms:
+    def test_fold_matmul_matches(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.patches import (
+            fold, fold_matmul, unfold_output_size)
+
+        for H, W, C, k, s, p in [(14, 22, 6, (7, 7), (3, 3), (3, 3)),
+                                 (9, 11, 4, (3, 3), (2, 2), (1, 1))]:
+            Ho = unfold_output_size(H, k[0], s[0], p[0])
+            Wo = unfold_output_size(W, k[1], s[1], p[1])
+            y = jnp.asarray(rng.standard_normal(
+                (2, Ho * Wo, C * k[0] * k[1]), np.float32))
+            a = np.asarray(fold(y, (H, W), k, s, p))
+            b = np.asarray(fold_matmul(y, (H, W), k, s, p))
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    def test_overlap_renorm_matches_fold_unfold(self, rng):
+        import jax.numpy as jnp
+        from propainter_tpu.ops.patches import (
+            fold, unfold, overlap_renorm, unfold_output_size)
+
+        for H, W, C, k, s, p in [(18, 24, 5, (7, 7), (3, 3), (3, 3)),
+                                 (9, 11, 4, (3, 3), (2, 2), (1, 1))]:
+            Ho = unfold_output_size(H, k[0], s[0], p[0])
+            Wo = unfold_output_size(W, k[1], s[1], p[1])
+            ck = C * k[0] * k[1]
+            y = jnp.asarray(rng.standard_normal(
+                (2, Ho * Wo, ck), np.float32))
+            ones = jnp.ones((1, Ho * Wo, k[0] * k[1]), jnp.float32)
+            norm = fold(ones, (H, W), k, s, p)  # (1, H, W, 1)
+            ref = np.asarray(unfold(fold(y, (H, W), k, s, p) / norm,
+                                    k, s, p))
+            got = np.asarray(overlap_renorm(y, (H, W), k, s, p))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 class TestPatchConvForms:
     def test_unfold_conv_matches(self, rng):
         import jax.numpy as jnp
