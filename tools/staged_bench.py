@@ -19,6 +19,10 @@ def main():
     from bench import build_pipeline, make_inputs, T
 
     pipe = build_pipeline("bf16")
+    wb = int(os.environ.get("WB", "1"))
+    pipe.config.window_batch = wb
+    if wb > 1:
+        print(f"window_batch={wb}")
     frames_np, mask_np = make_inputs()
 
     def run(timings=None):
