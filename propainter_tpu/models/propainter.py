@@ -38,7 +38,7 @@ from propainter_tpu.ops.deform import (
 )
 from propainter_tpu.ops.interp import resize, max_pool2d
 from propainter_tpu.ops.patches import (
-    unfold_output_size, fold_matmul, overlap_renorm)
+    unfold_output_size, fold_dense_conv, coverage_count)
 from propainter_tpu.ops.warp import (
     flow_warp, fb_consistency_check, fb_consistency_from_warped)
 
@@ -144,19 +144,46 @@ class SoftSplit(nn.Module):
         return feat.reshape(b, -1, f_h, f_w, self.hidden)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-layout params (kernel (in, out), bias (out,))
+    without applying them — for layers whose Dense is algebraically fused
+    into a convolution while the param tree stays checkpoint-compatible."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class SoftComp(nn.Module):
     """Inverse tokenizer: linear -> fold -> 3x3 bias conv.
-    Reference sparse_transformer.py:34-61."""
+    Reference sparse_transformer.py:34-61.
+
+    The linear + fold pair is ONE lhs-dilated (transposed) convolution
+    (adjoint of the im2col identity) — the (B, L, C*49) tap tensor (168 MB
+    at inference shapes) is never materialized."""
 
     channel: int = 128
 
     @nn.compact
     def __call__(self, x, t, output_size):
         b = x.shape[0]
+        c_in = x.shape[-1]
+        fh = unfold_output_size(output_size[0], KERNEL[0], STRIDE[0],
+                                PADDING[0])
+        fw = unfold_output_size(output_size[1], KERNEL[1], STRIDE[1],
+                                PADDING[1])
         c_out = KERNEL[0] * KERNEL[1] * self.channel
-        feat = nn.Dense(c_out, name="embedding")(x.reshape(b, -1, x.shape[-1]))
-        feat = feat.reshape(b * t, -1, c_out)
-        feat = fold_matmul(feat, output_size, KERNEL, STRIDE, PADDING)
+        w, bias = _DenseParams(c_in, c_out, name="embedding")()
+        feat = fold_dense_conv(
+            x.reshape(b * t, fh, fw, c_in), w.astype(x.dtype),
+            bias.astype(x.dtype), output_size, KERNEL, STRIDE,
+            PADDING).astype(x.dtype)
         return conv2d(self.channel, 3, 1, 1, name="bias_conv")(feat)
 
 
@@ -174,19 +201,25 @@ class FusionFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_size):
-        n_vecs = unfold_output_size(
-            output_size[0], KERNEL[0], STRIDE[0], PADDING[0]
-        ) * unfold_output_size(output_size[1], KERNEL[1], STRIDE[1], PADDING[1])
-        x = nn.Dense(self.hidden_dim, name="fc1_0")(x)
+        # The whole fc1 -> fold -> /coverage -> unfold -> gelu -> fc2 chain
+        # runs in PIXEL space: fold(fc1(x)) is ONE transposed conv, and since
+        # unfold is a pure gather, gelu∘unfold == unfold∘gelu, so
+        # fc2(unfold(z)) is ONE strided conv (the im2col identity). The
+        # (n, hidden) tap tensor (54 MB at inference shapes) is never
+        # materialized; the nonlinearity runs on the 8x smaller pixel tensor.
+        H, W = output_size
+        fh = unfold_output_size(H, KERNEL[0], STRIDE[0], PADDING[0])
+        fw = unfold_output_size(W, KERNEL[1], STRIDE[1], PADDING[1])
         b, n, c = x.shape
-
-        # fold -> divide-by-coverage -> unfold is a separable linear op:
-        # two small matmuls instead of a 1960-channel scatter-add round-trip
-        x = x.reshape(-1, n_vecs, c)
-        x = overlap_renorm(x, output_size, KERNEL, STRIDE, PADDING)
-        x = x.reshape(b, n, c)
-        x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, name="fc2_1")(x)
+        w1, b1 = _DenseParams(c, self.hidden_dim, name="fc1_0")()
+        z = fold_dense_conv(
+            x.reshape(-1, fh, fw, c), w1.astype(x.dtype), b1.astype(x.dtype),
+            (H, W), KERNEL, STRIDE, PADDING)
+        cov = jnp.asarray(
+            coverage_count((H, W), KERNEL, STRIDE, PADDING), z.dtype)
+        z = jax.nn.gelu(z / cov, approximate=False).astype(x.dtype)
+        y = _PatchEmbed(self.dim, name="fc2_1")(z)
+        return y.reshape(b, n, self.dim)
 
 
 def _valid_rolled_indices(window: tuple[int, int], expand: tuple[int, int]):

@@ -255,3 +255,62 @@ def fold_conv(y, output_size, kernel_size, stride, padding):
     t = jnp.pad(t, ((0, 0), (0, Hp - t.shape[1]), (0, Wp - t.shape[2]),
                     (0, 0)))
     return t[:, ph : ph + H, pw : pw + W]
+
+
+def coverage_count(output_size, kernel_size, stride, padding) -> np.ndarray:
+    """`fold(unfold(ones))` per-pixel tap coverage counts, shape (H, W, 1).
+
+    Separable: cnt2d(y, x) = cnt_rows(y) * cnt_cols(x). Padding taps are
+    excluded (fold drops them), matching torch fold's divisor tensor."""
+
+    def cnt1d(length, k, s, p):
+        n = unfold_output_size(length, k, s, p)
+        pix = (np.arange(n)[:, None] * s
+               + np.arange(k)[None, :]).reshape(-1) - p
+        ok = (pix >= 0) & (pix < length)
+        return np.bincount(pix[ok], minlength=length).astype(np.float32)
+
+    ch = cnt1d(output_size[0], kernel_size[0], stride[0], padding[0])
+    cw = cnt1d(output_size[1], kernel_size[1], stride[1], padding[1])
+    return (ch[:, None] * cw[None, :])[..., None]
+
+
+def fold_dense_conv(x, kernel, bias, output_size, kernel_size, stride,
+                    padding, accum_dtype=jnp.float32):
+    """`fold(x @ kernel + bias)` — a Dense producing C*kh*kw tap channels
+    followed by fold — as ONE lhs-dilated (transposed) convolution.
+
+    Never materializes the (B, L, C*kh*kw) tap tensor (168 MB for SoftComp at
+    inference shapes); the MXU contracts straight from token features to
+    pixels. This is the transpose of the im2col identity used by _PatchEmbed.
+
+    Args:
+      x: (B, Ho, Wo, Cin) token grid.
+      kernel: (Cin, C*kh*kw), Dense layout; column order is torch unfold's
+        c*(kh*kw) + i*kw + j (reference modules/sparse_transformer.py fold).
+      bias: (C*kh*kw,) per-tap bias folded into the output, or None.
+    Returns:
+      (B, H, W, C) in accum_dtype.
+    """
+    B, Ho, Wo, Cin = x.shape
+    H, W = output_size
+    kh, kw = kernel_size
+    sh, sw = stride
+    ph, pw = padding
+    C = kernel.shape[1] // (kh * kw)
+    # correlation kernel: K[i', j', cin, c] = kernel[cin, c, kh-1-i', kw-1-j']
+    k4 = kernel.reshape(Cin, C, kh, kw)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    t = jax.lax.conv_general_dilated(
+        x, k4.astype(x.dtype), (1, 1), [(kh - 1, kh - 1), (kw - 1, kw - 1)],
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype)
+    Hp, Wp = H + 2 * ph, W + 2 * pw
+    t = jnp.pad(t, ((0, 0), (0, Hp - t.shape[1]), (0, Wp - t.shape[2]),
+                    (0, 0)))
+    t = t[:, ph : ph + H, pw : pw + W]
+    if bias is not None:
+        ones = jnp.ones((1, Ho, Wo, 1), x.dtype)
+        t = t + fold_dense_conv(ones, bias[None, :], None, output_size,
+                                kernel_size, stride, padding, accum_dtype)
+    return t
