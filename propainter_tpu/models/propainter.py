@@ -400,31 +400,49 @@ class SparseWindowAttention(nn.Module):
             win_k_all = win_k_all[:, :, :, sel_idx]
             win_v_all = win_v_all[:, :, :, sel_idx]
 
-            # logits dtype: fp32 in the fp32 pipeline; in bf16 mode keep the
-            # (huge: nW*head*Tq*Tk) logit tensor bf16 — the reference's fp16
-            # mode also runs attention in half precision, and the MXU
-            # accumulates in fp32 either way. Halves softmax traffic.
-            ldt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-
             # branch A: masked windows attend across all (selected) frames
             qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
             ka = win_k_all.reshape(B, nW, n_head, Ts * k_tok, ch)
             va = win_v_all.reshape(B, nW, n_head, Ts * k_tok, ch)
-            att_a = jnp.einsum(
-                "bwhqc,bwhkc->bwhqk", qa, ka,
-                preferred_element_type=ldt) * scale
+            key_mask = None
             if dyn_valid is not None:
                 dv = (dyn_valid if dyn_valid.ndim == 2
                       else dyn_valid[None])  # (B?, T)
                 dv = jnp.broadcast_to(dv, (B, T))[:, sel_idx]
                 key_mask = jnp.repeat(dv, k_tok, axis=-1)  # (B, Ts*Ktok)
-                att_a = jnp.where(key_mask[:, None, None, None, :], att_a,
-                                  jnp.asarray(-1e9, ldt))
-            att_a = jax.nn.softmax(att_a, axis=-1).astype(x.dtype)
-            out_a = jnp.einsum(
-                "bwhqk,bwhkc->bwhqc", att_a, va,
-                preferred_element_type=jnp.float32).astype(x.dtype)
-            out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
+
+            # logits dtype for the dense einsum paths: fp32 in the fp32
+            # pipeline; in bf16 mode keep the (huge) logit tensors bf16 —
+            # the reference's fp16 mode also runs attention in half
+            # precision, and the MXU accumulates in fp32 either way.
+            ldt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+            if self.attention_impl == "flash":
+                # fused VMEM-resident softmax: the (Tq, Tk) logits tensor
+                # (~260 MB/block at inference shapes) never hits HBM, and
+                # the softmax runs in fp32. Inference-only (no VJP).
+                from propainter_tpu.ops.flash_attention import (
+                    flash_window_attention)
+
+                bias = (None if key_mask is None else
+                        jnp.where(key_mask, 0.0, -1e9).astype(jnp.float32))
+                qg = qa.reshape(B, nW * n_head, T * win_tokens, ch)
+                kg = ka.reshape(B, nW * n_head, Ts * k_tok, ch)
+                vg = va.reshape(B, nW * n_head, Ts * k_tok, ch)
+                out_a = flash_window_attention(qg, kg, vg, bias, scale)
+                out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
+            else:
+                att_a = jnp.einsum(
+                    "bwhqc,bwhkc->bwhqk", qa, ka,
+                    preferred_element_type=ldt) * scale
+                if key_mask is not None:
+                    att_a = jnp.where(key_mask[:, None, None, None, :],
+                                      att_a, jnp.asarray(-1e9, ldt))
+                att_a = jax.nn.softmax(att_a, axis=-1).astype(x.dtype)
+                out_a = jnp.einsum(
+                    "bwhqk,bwhkc->bwhqc", att_a, va,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
 
             # branch B: clean windows attend within-window, same-frame
             att_b = jnp.einsum(

@@ -84,12 +84,17 @@ class PipelineConfig:
     # stage-4 window batches) over all visible devices — the multi-chip
     # inference layout (SURVEY.md section 7.7: batch-of-windows sharding).
     shard_inference: bool = False
-    # sparse window attention implementation. 'xla' (default): dense
-    # dual-branch — all (window, head) problems in one batched MXU einsum;
-    # measured 6x FASTER than the per-window 'pallas' kernel on v5e (one
-    # TensorCore: per-window grid programs serialize and under-fill the MXU).
-    # 'pallas' kept as an opt-in for future multi-core parts.
-    attention_impl: str = "xla"
+    # sparse window attention implementation.
+    # 'flash' (default): dense dual-branch, with branch A's softmax fused in
+    #   a pallas kernel whose K/V fit in VMEM whole — the (Tq, Tk) logits
+    #   never hit HBM and the softmax runs in fp32 (measured 5.2 vs 6.4
+    #   ms/block vs 'xla' in bf16, better numerics). Inference-only (no VJP).
+    # 'xla': all (window, head) problems in one batched MXU einsum;
+    #   differentiable — what training uses.
+    # 'pallas': per-(window, head) streaming kernel — measured 6x SLOWER
+    #   than 'xla' on v5e (one TensorCore: per-window grid programs
+    #   serialize and under-fill the MXU); kept as an opt-in reference.
+    attention_impl: str = "flash"
 
 
 class ProPainterPipeline:

@@ -35,3 +35,34 @@ def test_pallas_matches_xla(rng, all_clean):
 
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("with_dyn_valid", [False, True])
+def test_flash_matches_xla(rng, with_dyn_valid):
+    """Branch-A fused (flash) attention == dense XLA formulation.
+
+    The flash path (ops/flash_attention.py) replaces only the branch-A
+    logits/softmax/AV chain; preprocessing and branch B are shared, so any
+    mismatch isolates to the kernel."""
+    B, T, l_t = 1, 6, 3
+    Hg, Wg, C = 10, 18, 64
+    x = jnp.asarray(rng.standard_normal((B, T, Hg, Wg, C)).astype(np.float32))
+    m = np.zeros((B, l_t, Hg, Wg, 1), np.float32)
+    m[:, :, 1:4, 2:7] = 1.0
+    mask = jnp.asarray(m)
+    static_sel = np.array([True, False, True, True, False, True])
+    dyn_valid = (jnp.asarray([True] * 4 + [False] * 2)
+                 if with_dyn_valid else None)
+
+    xla_mod = SparseWindowAttention(C, 4, (5, 9), (4, 4), "xla")
+    params = xla_mod.init(
+        jax.random.PRNGKey(0), x, mask, (static_sel, dyn_valid))["params"]
+    out_xla = xla_mod.apply({"params": params}, x, mask,
+                            (static_sel, dyn_valid))
+
+    fl_mod = SparseWindowAttention(C, 4, (5, 9), (4, 4), "flash")
+    out_fl = fl_mod.apply({"params": params}, x, mask,
+                          (static_sel, dyn_valid))
+
+    np.testing.assert_allclose(
+        np.asarray(out_fl), np.asarray(out_xla), rtol=2e-4, atol=2e-4)
