@@ -354,3 +354,64 @@ class TestPatchConvForms:
             a = np.asarray(fold(y, (H, W), k, s, p))
             b = np.asarray(fold_conv(y, (H, W), k, s, p))
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+class TestDeformPallas:
+    def test_fused_matches_mxu_interpret(self, rng):
+        """Pallas-fused deform sampling == XLA separable-matmul formulation
+        (interpreter mode on CPU — same code path the TPU compiles)."""
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import modulated_deform_conv2d_mxu
+        from propainter_tpu.ops.deform_pallas import (
+            modulated_deform_conv2d_fused)
+
+        for (B, H, W, C, dg, O) in [(1, 12, 20, 32, 4, 48),
+                                    (2, 9, 15, 16, 2, 16)]:
+            x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+            off = jnp.asarray(
+                rng.standard_normal((B, H, W, dg, 9, 2)) * 3, jnp.float32)
+            msk = jnp.asarray(rng.uniform(0, 1, (B, H, W, dg, 9)), jnp.float32)
+            wgt = jnp.asarray(
+                rng.standard_normal((3, 3, C, O)) * 0.05, jnp.float32)
+            b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+            a = np.asarray(modulated_deform_conv2d_mxu(x, off, msk, wgt, b))
+            c = np.asarray(modulated_deform_conv2d_fused(
+                x, off, msk, wgt, b, interpret=True))
+            np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
+
+    def test_opt_dispatcher_grads(self, rng):
+        """modulated_deform_conv2d_opt: values match mxu and gradients flow
+        (custom_vjp linearizes the XLA formulation)."""
+        import jax
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import modulated_deform_conv2d_mxu
+        from propainter_tpu.ops.deform_pallas import (
+            modulated_deform_conv2d_opt)
+
+        B, H, W, C, dg, O = 1, 10, 14, 16, 4, 16
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        off = jnp.asarray(
+            rng.standard_normal((B, H, W, dg, 9, 2)) * 2, jnp.float32)
+        msk = jnp.asarray(rng.uniform(0, 1, (B, H, W, dg, 9)), jnp.float32)
+        wgt = jnp.asarray(
+            rng.standard_normal((3, 3, C, O)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+
+        out = modulated_deform_conv2d_opt(x, off, msk, wgt, b)
+        ref = modulated_deform_conv2d_mxu(x, off, msk, wgt, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_opt(x, off):
+            return jnp.sum(
+                modulated_deform_conv2d_opt(x, off, msk, wgt, b) ** 2)
+
+        def loss_mxu(x, off):
+            return jnp.sum(
+                modulated_deform_conv2d_mxu(x, off, msk, wgt, b) ** 2)
+
+        g1 = jax.grad(loss_opt, argnums=(0, 1))(x, off)
+        g2 = jax.grad(loss_mxu, argnums=(0, 1))(x, off)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-4)
