@@ -24,6 +24,7 @@ import flax.linen as nn
 
 from propainter_tpu.models.layers import conv2d, InstanceNorm, FrozenBatchNorm
 from propainter_tpu.ops.corr import corr_pyramid, corr_lookup, corr_lookup_mxu
+from propainter_tpu.ops.corr_pallas import corr_pyramid_t, corr_lookup_fused
 from propainter_tpu.ops.warp import coords_grid
 from propainter_tpu.ops.patches import unfold
 
@@ -139,9 +140,14 @@ class _UpdateStep(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         net, coords1, up_mask, inp, coords0, pyramid = carry
-        # MXU matmul formulation of the radius-4 window lookup — gathers are
-        # slow on TPU (reference RAFT/corr.py:29-49 semantics preserved)
-        corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
+        # Windowed radius-4 lookup, gather-free (reference RAFT/corr.py:29-49
+        # semantics). On TPU: pallas kernel over the pixel-laned (transposed)
+        # pyramid — 2.5x the MXU-matmul form, which pays for its (N, n, Hc)
+        # interpolation matrices every iteration. CPU keeps the matmul form.
+        if jax.default_backend() == "cpu":
+            corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
+        else:
+            corr = corr_lookup_fused(list(pyramid), coords1, radius=4)
         flow = coords1 - coords0
         net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
             net, inp, corr, flow)
@@ -205,7 +211,12 @@ class RAFT(nn.Module):
 
     def refine(self, fmap1, fmap2, net, inp, iters: int = 20):
         """Iterative GRU refinement from precomputed features."""
-        pyramid = tuple(corr_pyramid(fmap1, fmap2, self.corr_levels))
+        if jax.default_backend() == "cpu":
+            pyramid = tuple(corr_pyramid(fmap1, fmap2, self.corr_levels))
+        else:
+            # transposed (query-pixel-laned) volume: pools and the fused
+            # lookup run at full lane width (see ops/corr_pallas.py)
+            pyramid = tuple(corr_pyramid_t(fmap1, fmap2, self.corr_levels))
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)

@@ -415,3 +415,27 @@ class TestDeformPallas:
         for a, c in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestCorrPallas:
+    def test_fused_lookup_matches_mxu(self, rng):
+        """Transposed-pyramid pallas lookup == MXU interpolation-matmul
+        lookup (interpreter mode on CPU), incl. far out-of-range coords."""
+        import jax.numpy as jnp
+        from propainter_tpu.ops.corr import corr_pyramid, corr_lookup_mxu
+        from propainter_tpu.ops.corr_pallas import (
+            corr_pyramid_t, corr_lookup_fused)
+
+        for (B, Hc, Wc, D) in [(3, 12, 20, 64), (1, 8, 10, 16)]:
+            f1 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)),
+                             jnp.float32)
+            f2 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)),
+                             jnp.float32)
+            coords = jnp.asarray(
+                rng.uniform(-20, max(Hc, Wc) + 20, (B, Hc, Wc, 2)),
+                jnp.float32)
+            ref = np.asarray(
+                corr_lookup_mxu(corr_pyramid(f1, f2), coords, 4))
+            got = np.asarray(corr_lookup_fused(
+                corr_pyramid_t(f1, f2), coords, 4, interpret=True))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
