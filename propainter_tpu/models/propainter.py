@@ -735,7 +735,7 @@ class InpaintGenerator(nn.Module):
     def __call__(self, masked_frames, completed_flows, masks_in,
                  masks_updated, num_local_frames: int, train: bool = False,
                  t_dilation: int = 2, frame_valid=None,
-                 precomputed_enc_feat=None):
+                 precomputed_enc_feat=None, precomputed_ref_feat=None):
         """
         Args:
           masked_frames: (B, T, H, W, 3) in [-1, 1] (holes already updated by
@@ -752,23 +752,44 @@ class InpaintGenerator(nn.Module):
           (B, l_t, H, W, 3) in [-1, 1] (train: (B, T, H, W, 3)).
         """
         l_t = num_local_frames
-        B, T, ori_h, ori_w, _ = masked_frames.shape
+        B = masked_frames.shape[0]
+        ori_h, ori_w = masked_frames.shape[2:4]
 
         if precomputed_enc_feat is not None:
-            # the encoder is strictly per-frame: the pipeline encodes every
-            # video frame ONCE and gathers per window (sliding windows
+            # the encoder is strictly per-frame: a caller may encode every
+            # video frame ONCE and gather per window (sliding windows
             # otherwise re-encode each frame up to 4x, like the reference)
             enc_feat = precomputed_enc_feat
-            _, _, h, w, c = enc_feat.shape
+            _, T, h, w, c = enc_feat.shape
+            local_feat = enc_feat[:, :l_t]
+            ref_feat = enc_feat[:, l_t:]
+        elif precomputed_ref_feat is not None:
+            # eval-only: the GLOBAL reference frames repeat across sliding
+            # windows — the pipeline encodes them once and passes their
+            # features; frame/mask inputs then cover LOCAL frames only.
+            # Local encoding stays in-graph (fusion with downstream stages;
+            # hoisting it measured slower, PERF.md).
+            assert not train
+            assert masked_frames.shape[1] == l_t
+            ref_feat = precomputed_ref_feat.astype(masked_frames.dtype)
+            T = l_t + ref_feat.shape[1]
+            enc_in = jnp.concatenate(
+                [masked_frames, masks_in, masks_updated], axis=-1)
+            local_enc = Encoder(name="encoder")(
+                enc_in.reshape(B * l_t, ori_h, ori_w, 5))
+            _, h, w, c = local_enc.shape
+            local_feat = local_enc.reshape(B, l_t, h, w, c)
+            enc_feat = None
         else:
+            T = masked_frames.shape[1]
             enc_in = jnp.concatenate(
                 [masked_frames, masks_in, masks_updated], axis=-1)
             enc_feat = Encoder(name="encoder")(
                 enc_in.reshape(B * T, ori_h, ori_w, 5))
             _, h, w, c = enc_feat.shape
             enc_feat = enc_feat.reshape(B, T, h, w, c)
-        local_feat = enc_feat[:, :l_t]
-        ref_feat = enc_feat[:, l_t:]
+            local_feat = enc_feat[:, :l_t]
+            ref_feat = enc_feat[:, l_t:]
         fold_feat_size = (h, w)
 
         flows_f, flows_b = completed_flows
@@ -780,7 +801,7 @@ class InpaintGenerator(nn.Module):
             align_corners=False).reshape(B, l_t - 1, h, w, 2) / 4.0
         ds_mask_in = resize(
             masks_in.reshape(-1, ori_h, ori_w, 1), (h, w),
-            "nearest").reshape(B, T, h, w, 1)
+            "nearest").reshape(B, masks_in.shape[1], h, w, 1)
         ds_mask_in_local = ds_mask_in[:, :l_t]
         ds_mask_updated_local = resize(
             masks_updated[:, :l_t].reshape(-1, ori_h, ori_w, 1), (h, w),

@@ -227,7 +227,7 @@ class ProPainterPipeline:
     def _generate_fn(self, inpaint_params, comp_sum, comp_cnt,
                      selected_imgs, flows_f, flows_b,
                      selected_masks, selected_update_masks, frame_valid,
-                     ids, w, l_t: int):
+                     ids, w, ref_feat, l_t: int):
         """One sliding-window generator call, fused with the compositing
         accumulation (one dispatch per window — each jit call costs ~30 ms
         RTT over the axon tunnel).
@@ -247,7 +247,7 @@ class ProPainterPipeline:
             selected_imgs.astype(dt),
             (flows_f.astype(dt), flows_b.astype(dt)),
             selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
-            frame_valid=frame_valid)
+            frame_valid=frame_valid, precomputed_ref_feat=ref_feat)
         return self._accumulate_fn(comp_sum, comp_cnt,
                                    pred.astype(jnp.float32), ids, w)
 
@@ -382,9 +382,33 @@ class ProPainterPipeline:
         # NOTE: one-shot whole-video encoding + per-window feature gather
         # measured SLOWER than re-encoding inside each window executable
         # (materialize+gather beats fused redundant encodes) — see PERF.md.
+        # The GLOBAL reference frames are different: the same ~8 stride
+        # frames repeat in EVERY window (16x redundant encodes), and their
+        # features feed only attention keys — encode them once and gather.
 
-        # build all windows, then group same-shape windows into batched calls
-        windows = []  # (neighbor_ids, sel, frame_valid)
+        # build all windows, then group same-shape windows into batched
+        # calls. Window refs index into the encoded ref-union (ref_pos);
+        # padded slots point at union entry 0 and are masked by frame_valid.
+        ref_union = sorted({rid
+                            for f in range(0, video_length, neighbor_stride)
+                            for rid in get_ref_index(
+                                f,
+                                list(range(max(0, f - neighbor_stride),
+                                           min(video_length,
+                                               f + neighbor_stride + 1))),
+                                video_length, cfg.ref_stride, ref_num)})
+        if not ref_union:
+            # short videos can have no refs at all (every frame is a
+            # neighbor); keep one dummy union entry for the padded
+            # (frame_valid=False) slots
+            ref_union = [0]
+        ref_index = {rid: i for i, rid in enumerate(ref_union)}
+        ru = np.asarray(ref_union, np.int32)
+        ref_feat_all = self._encode_all(
+            self._inpaint_params_c, updated_frames[:, ru],
+            masks_dilated[:, ru], updated_masks[:, ru])[0]
+
+        windows = []  # (neighbor_ids, ref_pos, frame_valid)
         for f in range(0, video_length, neighbor_stride):
             neighbor_ids = list(
                 range(max(0, f - neighbor_stride),
@@ -393,12 +417,11 @@ class ProPainterPipeline:
                                     cfg.ref_stride, ref_num)
             l_t = len(neighbor_ids)
             n_valid_refs = len(ref_ids)
-            ref_ids = (ref_ids + [neighbor_ids[0]]
-                       * (ref_pad - n_valid_refs))[:ref_pad]
-            sel = neighbor_ids + ref_ids
-            frame_valid = np.ones(len(sel), np.bool_)
+            ref_pos = ([ref_index[rid] for rid in ref_ids]
+                       + [0] * (ref_pad - n_valid_refs))[:ref_pad]
+            frame_valid = np.ones(l_t + ref_pad, np.bool_)
             frame_valid[l_t + min(n_valid_refs, ref_pad):] = False
-            windows.append((neighbor_ids, sel, frame_valid))
+            windows.append((neighbor_ids, ref_pos, frame_valid))
 
         groups: dict[int, list] = {}
         for wdw in windows:
@@ -415,17 +438,17 @@ class ProPainterPipeline:
                     # final average is unchanged
                     batch = (batch * wb)[:wb]
                 nb = np.array([w_[0] for w_ in batch], np.int32)  # (wb, l_t)
-                sel = np.array([w_[1] for w_ in batch], np.int32)
+                rp = np.array([w_[1] for w_ in batch], np.int32)  # (wb, rpad)
                 fv = np.array([w_[2] for w_ in batch])
 
                 w = np.zeros(len(batch), np.float32)
                 w[:n_real] = 1.0
                 comp_sum, comp_cnt = self._generate(
                     self._inpaint_params_c, comp_sum, comp_cnt,
-                    updated_frames[0, sel], flows_f[0, nb[:, :-1]],
-                    flows_b[0, nb[:, :-1]], masks_dilated[0, sel],
-                    updated_masks[0, sel], jnp.asarray(fv),
-                    jnp.asarray(nb), jnp.asarray(w), l_t)
+                    updated_frames[0, nb], flows_f[0, nb[:, :-1]],
+                    flows_b[0, nb[:, :-1]], masks_dilated[0, nb],
+                    updated_masks[0, nb], jnp.asarray(fv),
+                    jnp.asarray(nb), jnp.asarray(w), ref_feat_all[rp], l_t)
 
         return self._finalize(
             comp_sum, comp_cnt,

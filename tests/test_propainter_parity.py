@@ -244,3 +244,43 @@ def test_ref_padding_with_frame_valid_is_exact(rng):
 
     np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_precomputed_ref_feat_is_exact(rng):
+    """Hoisted reference-frame encoding (precomputed_ref_feat + local-only
+    frame/mask inputs) must reproduce the full-window path exactly — the
+    pipeline encodes the global stride frames once and reuses them in every
+    sliding window."""
+    import jax
+    import jax.numpy as jnp
+    from propainter_tpu.models.propainter import InpaintGenerator, Encoder
+
+    B, l_t, H, W = 1, 3, 32, 48
+    n_ref = 2
+    key = jax.random.PRNGKey(0)
+    model = InpaintGenerator()
+
+    def mk(shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    frames = mk((B, l_t + n_ref, H, W, 3)) * 0.5
+    flows = (mk((B, l_t - 1, H, W, 2)), mk((B, l_t - 1, H, W, 2)))
+    masks = (mk((B, l_t + n_ref, H, W, 1)) > 0.3).astype(jnp.float32)
+    params = model.init(key, frames, flows, masks, masks, l_t)["params"]
+
+    out_full = model.apply({"params": params}, frames, flows, masks, masks,
+                           l_t)
+
+    ref_in = jnp.concatenate(
+        [frames[:, l_t:], masks[:, l_t:], masks[:, l_t:]], axis=-1)
+    ref_feat = Encoder().apply(
+        {"params": params["encoder"]},
+        ref_in.reshape(B * n_ref, H, W, 5))
+    ref_feat = ref_feat.reshape((B, n_ref) + ref_feat.shape[1:])
+
+    out_hoisted = model.apply(
+        {"params": params}, frames[:, :l_t], flows, masks[:, :l_t],
+        masks[:, :l_t], l_t, precomputed_ref_feat=ref_feat)
+
+    np.testing.assert_allclose(np.asarray(out_hoisted),
+                               np.asarray(out_full), rtol=2e-5, atol=2e-5)
