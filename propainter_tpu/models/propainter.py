@@ -241,6 +241,32 @@ def _valid_rolled_indices(window: tuple[int, int], expand: tuple[int, int]):
     return np.nonzero(flat)[0]
 
 
+def _window_gather_indices(nwh, nww, window, expand, valid_idx):
+    """Static flat-grid indices (nW, win + n_valid_rolled): each window's
+    center tokens followed by its 4 rolled (wrap, like jnp.roll) copies'
+    valid-band tokens. One gather with these indices replaces 5 window
+    partitions + concat + band select (tiny-extent strided transposes are
+    slow on TPU; one big-row gather is not)."""
+    wh, ww = window
+    H, W = nwh * wh, nww * ww
+    eh, ew = expand
+    shifts = [(-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)]
+    a = np.arange(wh)[:, None]
+    b = np.arange(ww)[None, :]
+    idx = []
+    for wi in range(nwh):
+        for wj in range(nww):
+            center = ((wi * wh + a) * W + (wj * ww + b)).reshape(-1)
+            rolled = []
+            for sy, sx in shifts:
+                ry = (wi * wh + a - sy) % H
+                rx = (wj * ww + b - sx) % W
+                rolled.append((ry * W + rx).reshape(-1))
+            rolled = np.concatenate(rolled)[valid_idx]
+            idx.append(np.concatenate([center, rolled]))
+    return np.asarray(idx, np.int32)
+
+
 def _window_partition(x, window, n_head):
     """(B, T, H, W, C) -> (B, nW, n_head, T, wh*ww, C/n_head).
     Reference sparse_transformer.py:104-115 (head-major channel split)."""
@@ -311,23 +337,44 @@ class SparseWindowAttention(nn.Module):
         k = key_l(x)
         v = value_l(x)
 
-        win_q = _window_partition(q, self.window_size, n_head)
-        win_k = _window_partition(k, self.window_size, n_head)
-        win_v = _window_partition(v, self.window_size, n_head)
-
         # expanded (rolled) keys/values, masked to the newly-exposed band
         expand = ((wh + 1) // 2, (ww + 1) // 2)
         valid_idx = _valid_rolled_indices(self.window_size, expand)
         shifts = [(-expand[0], -expand[1]), (-expand[0], expand[1]),
                   (expand[0], -expand[1]), (expand[0], expand[1])]
-        rolled_k = [
-            _window_partition(jnp.roll(k, s, axis=(2, 3)), self.window_size,
-                              n_head) for s in shifts
-        ]
-        rolled_v = [
-            _window_partition(jnp.roll(v, s, axis=(2, 3)), self.window_size,
-                              n_head) for s in shifts
-        ]
+
+        if self.attention_impl == "pallas":
+            win_q = _window_partition(q, self.window_size, n_head)
+            win_k = _window_partition(k, self.window_size, n_head)
+            win_v = _window_partition(v, self.window_size, n_head)
+            rolled_k = [
+                _window_partition(jnp.roll(k, s, axis=(2, 3)),
+                                  self.window_size, n_head) for s in shifts
+            ]
+            rolled_v = [
+                _window_partition(jnp.roll(v, s, axis=(2, 3)),
+                                  self.window_size, n_head) for s in shifts
+            ]
+        else:
+            # window partition + 4 rolled copies + band select as ONE static
+            # gather from the flat token grid (wrap-aware indices baked at
+            # trace time) — replaces 11 strided transposes over tiny 5x9
+            # extents with one big-row gather + one layout transpose
+            idx_all = _window_gather_indices(
+                nwh, nww, self.window_size, expand, valid_idx)  # (nW, 193)
+            idx_q = idx_all[:, :win_tokens]
+
+            def gather_windows(t, idx):
+                """(B, T', H, W, C) -> (B, nW, head, T', n_idx, ch)."""
+                tf = t.reshape(B, -1, new_h * new_w, C)
+                g = tf[:, :, idx.reshape(-1)]
+                g = g.reshape(B, tf.shape[1], idx.shape[0], idx.shape[1],
+                              n_head, ch)
+                return g.transpose(0, 2, 4, 1, 3, 5)
+
+            win_q = gather_windows(q, idx_q)
+            win_k = gather_windows(k, idx_q)
+            win_v = gather_windows(v, idx_q)
         # pooled global tokens (depthwise avg-like conv, learnable)
         ph, pw = self.pool_size
         pool_x = nn.Conv(C, kernel_size=(ph, pw), strides=(ph, pw),
@@ -377,28 +424,26 @@ class SparseWindowAttention(nn.Module):
             out = out.reshape(B, n_head, nW, T, win_tokens, ch)
             out = jnp.moveaxis(out, 1, 2)  # (B, nW, head, T, win, ch)
         else:
-            roll_k = jnp.concatenate(rolled_k, axis=4)[:, :, :, :, valid_idx]
-            roll_v = jnp.concatenate(rolled_v, axis=4)[:, :, :, :, valid_idx]
-
-            def pool_windows(p):
-                p = p.reshape(B, T, p_h * p_w, n_head, ch)
-                p = p.transpose(0, 3, 1, 2, 4)  # (B, head, T, P, ch)
-                return jnp.broadcast_to(
-                    p[:, None], (B, nW, n_head, T, p_h * p_w, ch))
-
-            win_k_all = jnp.concatenate(
-                [win_k, roll_k, pool_windows(pool_k)], axis=4)
-            win_v_all = jnp.concatenate(
-                [win_v, roll_v, pool_windows(pool_v)], axis=4)
-            k_tok = win_k_all.shape[4]
-
-            # gather the statically-selected frames' keys (the reference's
-            # T_ind gather, sparse_transformer.py:241-248) — halves branch-A
-            # work vs masking when t_dilation=2
+            # gather the statically-selected frames FIRST (the reference's
+            # T_ind gather, sparse_transformer.py:241-248 — halves branch-A
+            # work when t_dilation=2), then window+rolled-band keys via the
+            # single static gather
             sel_idx = np.nonzero(static_sel)[0]
             Ts = len(sel_idx)
-            win_k_all = win_k_all[:, :, :, sel_idx]
-            win_v_all = win_v_all[:, :, :, sel_idx]
+
+            def pool_windows(p, t_sel):
+                p = p.reshape(B, T, p_h * p_w, n_head, ch)[:, t_sel]
+                p = p.transpose(0, 3, 1, 2, 4)  # (B, head, Ts, P, ch)
+                return jnp.broadcast_to(
+                    p[:, None], (B, nW, n_head, len(t_sel), p_h * p_w, ch))
+
+            win_k_all = jnp.concatenate(
+                [gather_windows(k[:, sel_idx], idx_all),
+                 pool_windows(pool_k, sel_idx)], axis=4)
+            win_v_all = jnp.concatenate(
+                [gather_windows(v[:, sel_idx], idx_all),
+                 pool_windows(pool_v, sel_idx)], axis=4)
+            k_tok = win_k_all.shape[4]
 
             # branch A: masked windows attend across all (selected) frames
             qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
