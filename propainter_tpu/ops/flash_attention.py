@@ -38,7 +38,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
         q_ref[0].astype(jnp.float32), k_ref[0].astype(jnp.float32),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale    # (QB, Tk)
-    s = s + bias_ref[0][None, :]
+    s = s + bias_ref[0]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -89,6 +89,11 @@ def flash_window_attention(q, k, v, key_bias, scale, interpret=None):
         vf = jnp.pad(vf, ((0, 0), (0, tk_pad - Tk), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, tk_pad - Tk)),
                        constant_values=NEG_INF)
+    # expand the per-batch bias to per-problem (tiny) — an n//G index_map
+    # does not lower through Mosaic; 3D so the block's trailing dims equal
+    # the array's (Mosaic requires (x8, x128)-divisible or full-dim blocks)
+    bias = jnp.broadcast_to(bias[:, None], (B, G, tk_pad))
+    bias = bias.reshape(N, 1, tk_pad)
 
     qb = _pick_q_block(tq_pad)
     grid = (N, tq_pad // qb)
@@ -101,7 +106,7 @@ def flash_window_attention(q, k, v, key_bias, scale, interpret=None):
             pl.BlockSpec((1, qb, ch), lambda n, i: (n, i, 0)),
             pl.BlockSpec((1, tk_pad, ch), lambda n, i: (n, 0, 0)),
             pl.BlockSpec((1, tk_pad, ch), lambda n, i: (n, 0, 0)),
-            pl.BlockSpec((1, tk_pad), lambda n, i, G=G: (n // G, 0)),
+            pl.BlockSpec((1, 1, tk_pad), lambda n, i: (n, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, qb, ch), lambda n, i: (n, i, 0)),
         interpret=interpret,
