@@ -66,3 +66,24 @@ def test_flash_matches_xla(rng, with_dyn_valid):
 
     np.testing.assert_allclose(
         np.asarray(out_fl), np.asarray(out_xla), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_batched_windows(rng):
+    """flash kernel with a window-batch (B>1) — the multi-chip / wb>1 path
+    (bias must be expanded per problem; regression for the Mosaic blockspec
+    constraint on trailing block dims)."""
+    from propainter_tpu.ops.flash_attention import flash_window_attention
+
+    B, G, Tq, Tk, ch = 3, 4, 90, 150, 64
+    q = jnp.asarray(rng.standard_normal((B, G, Tq, ch)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, G, Tk, ch)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, G, Tk, ch)), jnp.float32)
+    bias = jnp.asarray(
+        np.where(rng.uniform(size=(B, Tk)) > 0.2, 0.0, -1e9), jnp.float32)
+    out = flash_window_attention(q, k, v, bias, 0.125)
+
+    s = jnp.einsum("bgqc,bgkc->bgqk", q, k) * 0.125 + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bgqk,bgkc->bgqc", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
