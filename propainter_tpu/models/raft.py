@@ -187,6 +187,11 @@ class RAFT(nn.Module):
     context_dim: int = 128
     corr_levels: int = 4
     corr_radius: int = 4
+    # storage dtype of the all-pairs correlation pyramid. 'bfloat16' halves
+    # the lookup's HBM reads (26 -> 19 ms/iter; final-flow drift < 0.01 px
+    # on ~8 px flows over 20 iterations); the bf16 inference pipeline uses
+    # it. Pooling and the GRU stay fp32.
+    corr_volume_dtype: str = "float32"
 
     def setup(self):
         self.fnet = BasicEncoder(256, "instance")
@@ -219,7 +224,9 @@ class RAFT(nn.Module):
         else:
             # transposed (query-pixel-laned) volume: pools and the fused
             # lookup run at full lane width (see ops/corr_pallas.py)
-            pyramid = tuple(corr_pyramid_t(fmap1, fmap2, self.corr_levels))
+            pyramid = tuple(
+                c.astype(self.corr_volume_dtype)
+                for c in corr_pyramid_t(fmap1, fmap2, self.corr_levels))
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)

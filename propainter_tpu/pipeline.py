@@ -104,7 +104,9 @@ class ProPainterPipeline:
                  config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
         impl = self.config.attention_impl
-        self.raft = RAFT()
+        self.raft = RAFT(
+            corr_volume_dtype=("bfloat16" if self.config.precision == "bf16"
+                               else "float32"))
         self.flowcomp = RecurrentFlowCompleteNet()
         self.inpaint = InpaintGenerator(attention_impl=impl)
         self.raft_params = raft_params
