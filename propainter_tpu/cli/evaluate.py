@@ -34,7 +34,13 @@ def build_argparser():
     p.add_argument("--width", type=int, default=432)
     p.add_argument("--ref_stride", type=int, default=10)
     p.add_argument("--neighbor_length", type=int, default=20)
-    p.add_argument("--subvideo_length", type=int, default=80)
+    p.add_argument("--subvideo_length", type=int, default=-1,
+                   help="-1 (default) = UNCHUNKED flow completion and image "
+                        "propagation, the reference eval protocol "
+                        "(scripts/evaluate_propainter.py:127-131 runs both "
+                        "whole-video; RAFT still chunks by 60 frames, :108). "
+                        "Set a positive value to eval under the inference "
+                        "chunking schedule instead.")
     p.add_argument("--raft_iter", type=int, default=20)
     p.add_argument("--task", default="video_completion",
                    choices=["video_completion", "object_removal"])
@@ -71,11 +77,18 @@ def main(argv=None):
                           w=args.width, h=args.height)
 
     params = load_params(args.weights)
+    # reference eval protocol: whole-video stages 2+3 + uncapped refs
+    # (unchunked=True), RAFT chunked by 60 frames
+    # (scripts/evaluate_propainter.py:29-34,108,127-137)
+    unchunked = args.subvideo_length <= 0
     pipe = ProPainterPipeline(
         params["raft"], params["flowcomp"], params["inpaint"],
         PipelineConfig(ref_stride=args.ref_stride,
                        neighbor_length=args.neighbor_length,
-                       subvideo_length=args.subvideo_length,
+                       subvideo_length=(80 if unchunked
+                                        else args.subvideo_length),
+                       unchunked=unchunked,
+                       raft_clip_len=60 if unchunked else None,
                        raft_iter=args.raft_iter))
 
     i3d_apply = None

@@ -48,6 +48,42 @@ def get_short_clip_len(width: int) -> int:
     return 2
 
 
+def equal_chunk_schedule(length: int, n_chunks: int, pad: int
+                         ) -> list[tuple[int, int, int, int]] | None:
+    """Equal-length overlapping chunk schedule for batched (sharded) stage
+    2/3 execution.
+
+    The reference's sequential schedule (inference_propainter.py:341-404)
+    produces unequal tail chunks, which cannot stack into one batched call;
+    this variant keeps every chunk the same length L = ceil(length/n) + 2*pad
+    (same overlap-trim semantics: every output frame is >= pad frames away
+    from its chunk's border, except at the video boundary, exactly like the
+    reference's pad_len logic).
+
+    Returns [(start, end, out_start, out_end)] with end-start constant and
+    the out ranges tiling [0, length), or None when the video is too short
+    to split (chunk length would reach the whole video).
+
+    Chunk starts are spread evenly over [0, length-L] and output boundaries
+    sit at the midpoints of consecutive chunks' overlaps: each boundary is
+    >= overlap/2 >= pad frames from both chunks' borders.
+    """
+    step = -(-length // n_chunks)
+    L = min(length, step + 2 * pad)
+    if L >= length:
+        return None
+    starts = [i * (length - L) // (n_chunks - 1) for i in range(n_chunks)]
+    if any(starts[i] + L - starts[i + 1] < 2 * pad
+           for i in range(n_chunks - 1)):
+        return None  # rounding ate the overlap margin — fall back
+    bounds = ([0]
+              + [(starts[i] + starts[i + 1] + L) // 2
+                 for i in range(n_chunks - 1)]
+              + [length])
+    return [(starts[i], starts[i] + L, bounds[i], bounds[i + 1])
+            for i in range(n_chunks)]
+
+
 def get_ref_index(mid_neighbor_id, neighbor_ids, length, ref_stride=10,
                   ref_num=-1):
     """Global reference frame selection. Reference inference_propainter.py:159-173."""
@@ -74,6 +110,16 @@ class PipelineConfig:
     subvideo_length: int = 80
     raft_iter: int = 20
     precision: str = "fp32"  # 'fp32' | 'bf16'
+    # fixed RAFT chunk length override. None = width-based clip length
+    # (inference protocol, inference_propainter.py:302-309); the reference
+    # EVAL protocol always chunks RAFT by 60 frames instead
+    # (scripts/evaluate_propainter.py:108).
+    raft_clip_len: int | None = None
+    # reference EVAL protocol: flow completion and image propagation run
+    # whole-video (no subvideo chunking, no 100-frame img-prop cap) and
+    # reference frames are uncapped (ref_num=-1)
+    # (scripts/evaluate_propainter.py:29-34,127-137).
+    unchunked: bool = False
     # stage-4 windows with identical shape can run as one batched generator
     # call (pad windows repeat an earlier window, weighted out of the
     # compositing average). Measured slower than per-window calls on one
@@ -126,10 +172,15 @@ class ProPainterPipeline:
             self._inpaint_params_c = inpaint_params
 
         self._batch_sharding = None
+        self._window_batch = max(1, self.config.window_batch)
         if self.config.shard_inference and len(jax.devices()) > 1:
             from propainter_tpu.parallel.mesh import make_mesh, batch_sharding
 
             self._batch_sharding = batch_sharding(make_mesh())
+            if self.config.window_batch == 1:
+                # default the stage-4 window batch to the mesh size: windows
+                # are the unit of multi-chip sharding (one window per chip)
+                self._window_batch = self._batch_sharding.mesh.size
 
         # params are passed as jit ARGUMENTS (not closure constants): XLA
         # cannot constant-fold the network away for degenerate weights, and
@@ -137,10 +188,12 @@ class ProPainterPipeline:
         self._raft_bi = jax.jit(self._raft_bi_fn, static_argnames=("iters",))
         self._complete_flow = jax.jit(self._complete_flow_fn)
         self._img_prop = jax.jit(self._img_prop_fn)
-        self._generate = jax.jit(
-            self._generate_fn, static_argnames=("l_t",),
+        # one dispatch per same-shape WINDOW GROUP (lax.scan over windows):
+        # the per-window dispatch floor (~3 ms each through the remote-exec
+        # path, PERF.md) is paid once per group instead of once per window
+        self._generate_group = jax.jit(
+            self._generate_group_fn, static_argnames=("l_t",),
             donate_argnums=(1, 2))
-        self._finalize = jax.jit(self._finalize_fn)
         self._encode_all = jax.jit(self._encode_all_fn)
 
     # ---- stage fns -------------------------------------------------------
@@ -187,9 +240,15 @@ class ProPainterPipeline:
         return flows_f, flows_b
 
     def _complete_flow_fn(self, fc_params, flows_f, flows_b, flow_masks):
-        """Complete + combine flows for one chunk.
+        """Complete + combine flows for one chunk (or a batch of equal-length
+        chunks on the batch axis, sharded across the mesh).
         Reference inference_propainter.py:350-356."""
         dt = self._dtype
+        if self._batch_sharding is not None and flows_f.shape[0] > 1:
+            wsc = lambda x: jax.lax.with_sharding_constraint(
+                x, self._batch_sharding)
+            flows_f, flows_b, flow_masks = map(wsc,
+                                               (flows_f, flows_b, flow_masks))
         flows = (flows_f.astype(dt), flows_b.astype(dt))
         masks = flow_masks.astype(dt)
 
@@ -200,9 +259,15 @@ class ProPainterPipeline:
         return combine_flow(flows, pred, masks)
 
     def _img_prop_fn(self, frames, flows_f, flows_b, masks_dilated):
-        """Image propagation for one chunk.
+        """Image propagation for one chunk (or a batch of equal-length
+        chunks on the batch axis, sharded across the mesh).
         Reference inference_propainter.py:383-394."""
         dt = self._dtype
+        if self._batch_sharding is not None and frames.shape[0] > 1:
+            wsc = lambda x: jax.lax.with_sharding_constraint(
+                x, self._batch_sharding)
+            frames, flows_f, flows_b, masks_dilated = map(
+                wsc, (frames, flows_f, flows_b, masks_dilated))
         frames = frames.astype(dt)
         masks = masks_dilated.astype(dt)
         masked_frames = frames * (1 - masks)
@@ -226,56 +291,117 @@ class ProPainterPipeline:
                                enc_in.reshape(B * T, H, W, 5))
         return feat.reshape((B, T) + feat.shape[1:])
 
-    def _generate_fn(self, inpaint_params, comp_sum, comp_cnt,
-                     selected_imgs, flows_f, flows_b,
-                     selected_masks, selected_update_masks, frame_valid,
-                     ids, w, ref_feat, l_t: int):
-        """One sliding-window generator call, fused with the compositing
-        accumulation (one dispatch per window — each jit call costs ~30 ms
-        RTT over the axon tunnel).
-        Reference inference_propainter.py:428-437. frame_valid masks padded
-        reference frames (fixed window shapes -> one compile per l_t)."""
+    def _generate_group_fn(self, inpaint_params, comp, visited,
+                           updated_frames, flows_f, flows_b, masks_dilated,
+                           updated_masks, ori, nb, rp, fv, w, ref_feat_all,
+                           l_t: int):
+        """All same-shape sliding windows of one group in ONE executable:
+        lax.scan over window batches; each step runs the generator on a
+        (wb, l_t+ref_pad, ...) batch and applies the reference's SEQUENTIAL
+        compositing update (inference_propainter.py:438-450):
+
+            img   = uint8(pred) * mask + ori * (1 - mask)
+            comp  = img                      on first visit
+            comp  = uint8(comp/2 + img/2)    on each revisit
+
+        The exponential 0.5/0.5 revisit average (NOT mean-of-visits: frames
+        at window-stride multiples are visited 3x) and the per-visit uint8
+        truncation are reproduced exactly — floor() stands in for the uint8
+        cast; values stay integer-valued f32 on device until the end.
+
+        nb: (n, wb, l_t) neighbor ids; rp: (n, wb, ref_pad) ref-union rows;
+        fv: (n, wb, l_t+ref_pad) valid flags; w: (n, wb) 0 = batch-pad
+        window (skipped). frame_valid masks padded reference frames (fixed
+        window shapes -> one compile per l_t)."""
         dt = self._dtype
-        if self._batch_sharding is not None:
-            # windows are independent: shard the window-batch axis
-            wsc = lambda x: jax.lax.with_sharding_constraint(
-                x, self._batch_sharding)
-            selected_imgs, flows_f, flows_b = map(
-                wsc, (selected_imgs, flows_f, flows_b))
-            selected_masks, selected_update_masks = map(
-                wsc, (selected_masks, selected_update_masks))
-        pred = self.inpaint.apply(
-            {"params": inpaint_params},
-            selected_imgs.astype(dt),
-            (flows_f.astype(dt), flows_b.astype(dt)),
-            selected_masks.astype(dt), selected_update_masks.astype(dt), l_t,
-            frame_valid=frame_valid, precomputed_ref_feat=ref_feat)
-        return self._accumulate_fn(comp_sum, comp_cnt,
-                                   pred.astype(jnp.float32), ids, w)
+        uf = updated_frames[0].astype(dt)
+        md = masks_dilated[0].astype(dt)
+        um = updated_masks[0].astype(dt)
+        ff = flows_f[0].astype(dt)
+        fb = flows_b[0].astype(dt)
+        masks_bin = masks_dilated[0]  # (T, H, W, 1) 0/1 f32
 
-    @staticmethod
-    def _accumulate_fn(comp_sum, comp_cnt, pred, ids, w):
-        """Accumulate a batch of windows' predictions on device.
+        def step(carry, xs):
+            comp, visited = carry
+            nb_i, rp_i, fv_i, w_i = xs
+            sel_imgs = uf[nb_i]
+            sel_masks = md[nb_i]
+            sel_upd = um[nb_i]
+            sel_ff = ff[nb_i[:, :-1]]
+            sel_fb = fb[nb_i[:, :-1]]
+            ref_feat = ref_feat_all[rp_i]
+            if self._batch_sharding is not None:
+                # windows are independent: shard the window-batch axis
+                wsc = lambda x: jax.lax.with_sharding_constraint(
+                    x, self._batch_sharding)
+                sel_imgs, sel_ff, sel_fb, sel_masks, sel_upd, ref_feat = map(
+                    wsc, (sel_imgs, sel_ff, sel_fb, sel_masks, sel_upd,
+                          ref_feat))
+            pred = self.inpaint.apply(
+                {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
+                sel_masks, sel_upd, l_t,
+                frame_valid=fv_i, precomputed_ref_feat=ref_feat)
+            # (pred+1)/2*255 in the reference's operation order, then the
+            # uint8 truncation (floor: values are non-negative)
+            img8 = jnp.floor((pred.astype(jnp.float32) + 1.0) / 2.0 * 255.0)
+            img8 = jnp.clip(img8, 0.0, 255.0)
 
-        Double-visit frames are averaged at finalize — the reference
-        (inference_propainter.py:443-450) averages 0.5/0.5 per visit;
-        mean-of-visits is identical for <=2 visits up to uint8 rounding.
-        w: (wb,) 1.0 for real windows, 0.0 for batch-padding duplicates.
-        """
-        img = (pred + 1.0) * 127.5  # [-1,1] -> [0,255]
-        wex = w[:, None, None, None, None].astype(comp_sum.dtype)
-        comp_sum = comp_sum.at[ids].add(img.astype(comp_sum.dtype) * wex)
-        comp_cnt = comp_cnt.at[ids].add(
-            jnp.broadcast_to(wex, ids.shape + (1, 1, 1)))
-        return comp_sum, comp_cnt
+            def upd(j, c):
+                comp, visited = c
+                ids = nb_i[j]  # (l_t,) distinct frame indices
+                m = masks_bin[ids]
+                img = img8[j] * m + ori[ids] * (1.0 - m)
+                prev = comp[ids]
+                new = jnp.where(visited[ids],
+                                jnp.floor(0.5 * prev + 0.5 * img), img)
+                real = w_i[j] > 0
+                comp = comp.at[ids].set(jnp.where(real, new, prev))
+                visited = visited.at[ids].set(visited[ids] | real)
+                return comp, visited
 
-    @staticmethod
-    def _finalize_fn(comp_sum, comp_cnt, ori, masks):
-        """Composite averaged predictions into the original frames.
-        masks: (T, H, W, 1) binary. Returns (T, H, W, 3) uint8."""
-        pred_avg = comp_sum / jnp.maximum(comp_cnt, 1.0)
-        out = pred_avg * masks + ori * (1.0 - masks)
-        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+            comp, visited = jax.lax.fori_loop(
+                0, nb_i.shape[0], upd, (comp, visited))
+            return (comp, visited), None
+
+        (comp, visited), _ = jax.lax.scan(
+            step, (comp, visited), (nb, rp, fv, w))
+        return comp, visited
+
+    # ---- multi-chip chunk sharding (stages 2+3) --------------------------
+
+    def _complete_flow_batched(self, chunks):
+        cat = lambda i: jnp.concatenate([c[i] for c in chunks], 0)
+        return self._complete_flow(self._flowcomp_params_c,
+                                   cat(0), cat(1), cat(2))
+
+    def _img_prop_batched(self, chunks):
+        cat = lambda i: jnp.concatenate([c[i] for c in chunks], 0)
+        return self._img_prop(cat(0), cat(1), cat(2), cat(3))
+
+    def _sharded_chunks(self, batched_call, length: int, pad: int, slice_fn):
+        """Run a chunked stage as ONE batched call with the chunk axis
+        sharded across the mesh (stages 2+3 are sequential scans per chunk
+        but chunks are independent — the reference proves chunk independence
+        up to the pad-frame overlap trim, inference_propainter.py:341-404).
+
+        Returns None when the video is too short to split usefully (the
+        caller falls back to the single-device path)."""
+        n_dev = self._batch_sharding.mesh.size
+        sub = self.config.subvideo_length
+        # at least one chunk per device; more (in device multiples) when
+        # subvideo_length caps the chunk length
+        n_chunks = max(n_dev, -(-length // sub))
+        n_chunks = -(-n_chunks // n_dev) * n_dev
+        sched = equal_chunk_schedule(length, n_chunks, pad)
+        if sched is None:
+            return None
+        chunks = [slice_fn(s, e) for (s, e, _, _) in sched]
+        outs = batched_call(chunks)
+        pieces = [
+            jax.tree.map(lambda x: x[i : i + 1, os - s : oe - s], outs)
+            for i, (s, e, os, oe) in enumerate(sched) if oe > os
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *pieces)
 
     # ---- full pipeline ---------------------------------------------------
 
@@ -283,7 +409,7 @@ class ProPainterPipeline:
         """Stage 1: chunked bidirectional RAFT.
         Reference inference_propainter.py:302-330."""
         B, T, H, W, _ = frames.shape
-        clip = get_short_clip_len(W)
+        clip = self.config.raft_clip_len or get_short_clip_len(W)
         iters = self.config.raft_iter
         if T <= clip:
             return self._raft_bi(self.raft_params, frames, iters=iters)
@@ -307,7 +433,14 @@ class ProPainterPipeline:
         flows_f, flows_b = gt_flows_bi
         flow_length = flows_f.shape[1]
         sub = self.config.subvideo_length
-        if flow_length <= sub:
+        if self._batch_sharding is not None and not self.config.unchunked:
+            out = self._sharded_chunks(
+                self._complete_flow_batched, flow_length, pad=5,
+                slice_fn=lambda s, e: (flows_f[:, s:e], flows_b[:, s:e],
+                                       flow_masks[:, s : e + 1]))
+            if out is not None:
+                return out
+        if self.config.unchunked or flow_length <= sub:
             return self._complete_flow(self._flowcomp_params_c, flows_f, flows_b, flow_masks)
         pred_f, pred_b = [], []
         pad_len = 5
@@ -331,7 +464,15 @@ class ProPainterPipeline:
         T = frames.shape[1]
         sub = min(100, self.config.subvideo_length)
         flows_f, flows_b = pred_flows_bi
-        if T <= sub:
+        if self._batch_sharding is not None and not self.config.unchunked:
+            out = self._sharded_chunks(
+                self._img_prop_batched, T, pad=10,
+                slice_fn=lambda s, e: (frames[:, s:e], flows_f[:, s : e - 1],
+                                       flows_b[:, s : e - 1],
+                                       masks_dilated[:, s:e]))
+            if out is not None:
+                return out
+        if self.config.unchunked or T <= sub:
             return self._img_prop(frames, flows_f, flows_b, masks_dilated)
         upd_frames, upd_masks = [], []
         pad_len = 10
@@ -363,22 +504,26 @@ class ProPainterPipeline:
         cfg = self.config
         B, video_length, H, W, _ = updated_frames.shape
         neighbor_stride = cfg.neighbor_length // 2
-        if video_length > cfg.subvideo_length:
+        if not cfg.unchunked and video_length > cfg.subvideo_length:
             ref_num = cfg.subvideo_length // cfg.ref_stride
         else:
+            # unchunked eval protocol never caps refs
+            # (scripts/evaluate_propainter.py:29-34)
             ref_num = -1
 
         # fixed reference-frame count: pad shorter ref lists (masked via
         # frame_valid, numerically exact) so every window with the same l_t
         # shares one compiled executable
-        ref_pad = max(1, -(-min(video_length, cfg.subvideo_length)
-                           // cfg.ref_stride))
+        ref_cap = (video_length if cfg.unchunked
+                   else min(video_length, cfg.subvideo_length))
+        ref_pad = max(1, -(-ref_cap // cfg.ref_stride))
 
-        # on-device accumulation: predictions never round-trip to host per
+        # on-device compositing: predictions never round-trip to host per
         # window (the reference downloads every window,
         # inference_propainter.py:438); one uint8 transfer at the end.
-        comp_sum = jnp.zeros((video_length, H, W, 3), jnp.float32)
-        comp_cnt = jnp.zeros((video_length, 1, 1, 1), jnp.float32)
+        comp = jnp.zeros((video_length, H, W, 3), jnp.float32)
+        visited = jnp.zeros((video_length, 1, 1, 1), jnp.bool_)
+        ori = jnp.asarray(ori_frames.astype(np.float32))
         flows_f, flows_b = pred_flows_bi
         assert B == 1, "stage 4 batches windows over the batch axis"
         # NOTE: one-shot whole-video encoding + per-window feature gather
@@ -391,14 +536,17 @@ class ProPainterPipeline:
         # build all windows, then group same-shape windows into batched
         # calls. Window refs index into the encoded ref-union (ref_pos);
         # padded slots point at union entry 0 and are masked by frame_valid.
-        ref_union = sorted({rid
-                            for f in range(0, video_length, neighbor_stride)
-                            for rid in get_ref_index(
-                                f,
-                                list(range(max(0, f - neighbor_stride),
-                                           min(video_length,
-                                               f + neighbor_stride + 1))),
-                                video_length, cfg.ref_stride, ref_num)})
+        window_specs = []  # (neighbor_ids, ref_ids truncated to ref_pad)
+        for f in range(0, video_length, neighbor_stride):
+            neighbor_ids = list(
+                range(max(0, f - neighbor_stride),
+                      min(video_length, f + neighbor_stride + 1)))
+            ref_ids = get_ref_index(f, neighbor_ids, video_length,
+                                    cfg.ref_stride, ref_num)[:ref_pad]
+            window_specs.append((neighbor_ids, ref_ids))
+        # union over the TRUNCATED lists: only frames whose features are
+        # actually gathered get encoded
+        ref_union = sorted({rid for _, rids in window_specs for rid in rids})
         if not ref_union:
             # short videos can have no refs at all (every frame is a
             # neighbor); keep one dummy union entry for the padded
@@ -411,50 +559,51 @@ class ProPainterPipeline:
             masks_dilated[:, ru], updated_masks[:, ru])[0]
 
         windows = []  # (neighbor_ids, ref_pos, frame_valid)
-        for f in range(0, video_length, neighbor_stride):
-            neighbor_ids = list(
-                range(max(0, f - neighbor_stride),
-                      min(video_length, f + neighbor_stride + 1)))
-            ref_ids = get_ref_index(f, neighbor_ids, video_length,
-                                    cfg.ref_stride, ref_num)
+        for neighbor_ids, ref_ids in window_specs:
             l_t = len(neighbor_ids)
             n_valid_refs = len(ref_ids)
             ref_pos = ([ref_index[rid] for rid in ref_ids]
-                       + [0] * (ref_pad - n_valid_refs))[:ref_pad]
+                       + [0] * (ref_pad - n_valid_refs))
             frame_valid = np.ones(l_t + ref_pad, np.bool_)
-            frame_valid[l_t + min(n_valid_refs, ref_pad):] = False
+            frame_valid[l_t + n_valid_refs:] = False
             windows.append((neighbor_ids, ref_pos, frame_valid))
 
-        groups: dict[int, list] = {}
+        # batch windows into maximal CONSECUTIVE same-l_t runs: the 0.5/0.5
+        # revisit average is order-dependent, so windows must execute in f
+        # order (reference inference_propainter.py:417). Runs with equal
+        # (l_t, n_batches) reuse one compiled executable; a typical video
+        # has 3 runs (start-boundary l_t, main l_t, tail l_t).
+        runs: list[tuple[int, list]] = []
         for wdw in windows:
-            groups.setdefault(len(wdw[0]), []).append(wdw)
+            if runs and len(wdw[0]) == runs[-1][0]:
+                runs[-1][1].append(wdw)
+            else:
+                runs.append((len(wdw[0]), [wdw]))
 
-        wb = max(1, self.config.window_batch)
-        for l_t, grp in groups.items():
+        wb = self._window_batch
+        for l_t, grp in runs:
+            batches = []  # (nb (wb,l_t), rp, fv, w)
             for start in range(0, len(grp), wb):
                 batch = grp[start : start + wb]
                 n_real = len(batch)
-                if len(grp) > wb and n_real < wb:
-                    # pad to the full batch by repeating windows: their
-                    # predictions accumulate into sum AND count, so the
-                    # final average is unchanged
+                if n_real < wb:
+                    # pad the tail batch by repeating windows with weight 0
+                    # (skipped in the compositing update)
                     batch = (batch * wb)[:wb]
-                nb = np.array([w_[0] for w_ in batch], np.int32)  # (wb, l_t)
-                rp = np.array([w_[1] for w_ in batch], np.int32)  # (wb, rpad)
+                nb = np.array([w_[0] for w_ in batch], np.int32)
+                rp = np.array([w_[1] for w_ in batch], np.int32)
                 fv = np.array([w_[2] for w_ in batch])
-
                 w = np.zeros(len(batch), np.float32)
                 w[:n_real] = 1.0
-                comp_sum, comp_cnt = self._generate(
-                    self._inpaint_params_c, comp_sum, comp_cnt,
-                    updated_frames[0, nb], flows_f[0, nb[:, :-1]],
-                    flows_b[0, nb[:, :-1]], masks_dilated[0, nb],
-                    updated_masks[0, nb], jnp.asarray(fv),
-                    jnp.asarray(nb), jnp.asarray(w), ref_feat_all[rp], l_t)
+                batches.append((nb, rp, fv, w))
+            stack = lambda i: jnp.asarray(np.stack([b[i] for b in batches]))
+            comp, visited = self._generate_group(
+                self._inpaint_params_c, comp, visited,
+                updated_frames, flows_f, flows_b, masks_dilated,
+                updated_masks, ori, stack(0), stack(1), stack(2), stack(3),
+                ref_feat_all, l_t)
 
-        return self._finalize(
-            comp_sum, comp_cnt,
-            jnp.asarray(ori_frames.astype(np.float32)), masks_dilated[0])
+        return comp.astype(jnp.uint8)
 
     def inpaint_video(self, frames_np: np.ndarray, flow_masks_np: np.ndarray,
                       masks_dilated_np: np.ndarray,

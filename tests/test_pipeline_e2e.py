@@ -78,3 +78,14 @@ def test_pipeline_chunking_consistency(pipeline, rng):
     np.testing.assert_allclose(
         np.asarray(pred[0][:, 1:3]), np.asarray(pred_ref[0][:, 1:3]),
         rtol=1e-4, atol=1e-4)
+
+    # eval protocol: unchunked=True must ignore a small subvideo_length and
+    # reproduce the whole-video result exactly
+    # (reference scripts/evaluate_propainter.py:127-131)
+    ev = ProPainterPipeline(
+        pipeline.raft_params, pipeline.flowcomp_params,
+        pipeline.inpaint_params,
+        PipelineConfig(subvideo_length=6, raft_iter=2, unchunked=True))
+    pred_ev = ev.complete_flows(flows, masks)
+    np.testing.assert_array_equal(np.asarray(pred_ev[0]),
+                                  np.asarray(pred_ref[0]))

@@ -49,3 +49,94 @@ def test_sharded_matches_unsharded(rng):
     for a, b in zip(out_plain, out_shard):
         # identical program, different device layout: allow 1 uint8 LSB
         assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_equal_chunk_schedule_invariants():
+    from propainter_tpu.pipeline import equal_chunk_schedule
+
+    for length, n, pad in [(39, 8, 5), (80, 8, 10), (100, 4, 5),
+                           (17, 2, 5), (64, 8, 10)]:
+        sched = equal_chunk_schedule(length, n, pad)
+        if sched is None:
+            continue
+        L = sched[0][1] - sched[0][0]
+        covered = []
+        for (s, e, os, oe) in sched:
+            assert e - s == L  # equal chunk length (stackable)
+            assert 0 <= s and e <= length
+            if oe > os:
+                assert s <= os and oe <= e
+                # pad-frame margin except at the video boundary
+                if os > 0:
+                    assert os - s >= pad
+                if oe < length:
+                    assert e - oe >= pad
+                covered.extend(range(os, oe))
+        assert covered == list(range(length))  # outputs tile the video
+
+    # too short to split -> None (caller falls back)
+    assert equal_chunk_schedule(7, 8, 5) is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_sharded_chunk_stages_match_sequential(rng):
+    """Stages 2+3 sharded (one batched call, chunk axis over the mesh) must
+    equal running the SAME equal-chunk schedule sequentially — the batched
+    program is the same math in a different layout."""
+    from propainter_tpu.pipeline import equal_chunk_schedule
+
+    T, H, W = 40, 64, 96
+    raft, fc, gen = _params(H, W)
+    cfg = PipelineConfig(subvideo_length=10, raft_iter=1,
+                         shard_inference=True)
+    pipe = ProPainterPipeline(raft, fc, gen, cfg)
+    assert pipe._batch_sharding is not None
+
+    ff = jnp.asarray(rng.standard_normal((1, T - 1, H, W, 2)).astype(np.float32))
+    fb = jnp.asarray(rng.standard_normal((1, T - 1, H, W, 2)).astype(np.float32))
+    masks = jnp.asarray(
+        (rng.uniform(size=(1, T, H, W, 1)) > 0.8).astype(np.float32))
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (1, T, H, W, 3)).astype(np.float32))
+
+    # ---- stage 2 ----
+    pf_sh, pb_sh = pipe.complete_flows((ff, fb), masks)
+    n_dev = pipe._batch_sharding.mesh.size
+    n_chunks = -(-max(n_dev, -(-(T - 1) // 10)) // n_dev) * n_dev
+    sched = equal_chunk_schedule(T - 1, n_chunks, 5)
+    assert sched is not None, "test must exercise the sharded path"
+    pf_seq, pb_seq = [], []
+    for (s, e, os, oe) in sched:
+        if oe <= os:
+            continue
+        cf, cb = pipe._complete_flow(pipe._flowcomp_params_c,
+                                     ff[:, s:e], fb[:, s:e],
+                                     masks[:, s : e + 1])
+        pf_seq.append(cf[:, os - s : oe - s])
+        pb_seq.append(cb[:, os - s : oe - s])
+    np.testing.assert_allclose(np.asarray(pf_sh),
+                               np.asarray(jnp.concatenate(pf_seq, 1)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pb_sh),
+                               np.asarray(jnp.concatenate(pb_seq, 1)),
+                               rtol=2e-5, atol=2e-5)
+
+    # ---- stage 3 ----
+    uf_sh, um_sh = pipe.propagate_images(frames, (pf_sh, pb_sh), masks)
+    sched3 = equal_chunk_schedule(T, n_chunks, 10)
+    if sched3 is None:
+        return
+    uf_seq, um_seq = [], []
+    for (s, e, os, oe) in sched3:
+        if oe <= os:
+            continue
+        cf, cm = pipe._img_prop(frames[:, s:e], pf_sh[:, s : e - 1],
+                                pb_sh[:, s : e - 1], masks[:, s:e])
+        uf_seq.append(cf[:, os - s : oe - s])
+        um_seq.append(cm[:, os - s : oe - s])
+    np.testing.assert_allclose(np.asarray(uf_sh),
+                               np.asarray(jnp.concatenate(uf_seq, 1)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(um_sh),
+                               np.asarray(jnp.concatenate(um_seq, 1)),
+                               rtol=2e-5, atol=2e-5)
