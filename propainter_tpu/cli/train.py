@@ -126,7 +126,9 @@ def main(argv=None):
             valid_weight=losses.get("valid_weight", 1.0),
             adversarial_weight=losses.get("adversarial_weight", 0.01),
             perceptual_weight=losses.get("perceptual_weight", 0.0),
-            use_discriminator=not config["model"].get("no_dis", False))
+            gan_type=losses.get("GAN_LOSS", "hinge"),
+            use_discriminator=not config["model"].get("no_dis", False),
+            dis_2d=config["model"].get("dis_2d", False))
         lpips_params = None
         if tcfg.perceptual_weight > 0:
             # reference core/trainer.py:66-69 gates LPIPS the same way

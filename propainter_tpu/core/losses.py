@@ -34,30 +34,43 @@ def hole_valid_l1(pred, gt, mask, hole_weight=1.0, valid_weight=1.0):
     return hole_weight * hole + valid_weight * valid, hole, valid
 
 
-def adversarial_g_loss(fake_logits, gan_type: str = "hinge"):
-    """Generator-side GAN loss (core/loss.py:160-180, is_disc=False)."""
+def _bce(probs, target: float):
+    """torch nn.BCELoss on probabilities, incl. its log clamp at -100
+    (the reference's nsgan discriminator outputs sigmoid probabilities:
+    use_sigmoid = GAN_LOSS != 'hinge', core/trainer.py:89-96)."""
+    logp = jnp.maximum(jnp.log(probs), -100.0)
+    log1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
+    return -jnp.mean(target * logp + (1.0 - target) * log1mp)
+
+
+def adversarial_g_loss(fake_out, gan_type: str = "hinge"):
+    """Generator-side GAN loss (core/loss.py:160-180, is_disc=False).
+
+    fake_out: raw logits for 'hinge'; sigmoid probabilities for
+    'nsgan'/'lsgan' (the discriminator applies the sigmoid itself when
+    use_sigmoid=True, matching reference core/trainer.py:89-96 where
+    use_sigmoid = GAN_LOSS != 'hinge')."""
     if gan_type == "hinge":
-        return -jnp.mean(fake_logits)
+        return -jnp.mean(fake_out)
     if gan_type == "lsgan":
-        return jnp.mean((fake_logits - 1.0) ** 2)
+        return jnp.mean((fake_out - 1.0) ** 2)
     if gan_type == "nsgan":
-        return jnp.mean(
-            -jax.nn.log_sigmoid(fake_logits))
+        return _bce(fake_out, 1.0)
     raise ValueError(gan_type)
 
 
-def adversarial_d_loss(real_logits, fake_logits, gan_type: str = "hinge"):
-    """Discriminator-side GAN loss (core/trainer.py:430-441 hinge)."""
+def adversarial_d_loss(real_out, fake_out, gan_type: str = "hinge"):
+    """Discriminator-side GAN loss, (real+fake)/2 (core/trainer.py:430-441).
+    Input convention as in adversarial_g_loss."""
     if gan_type == "hinge":
-        real = jnp.mean(jax.nn.relu(1.0 - real_logits))
-        fake = jnp.mean(jax.nn.relu(1.0 + fake_logits))
+        real = jnp.mean(jax.nn.relu(1.0 - real_out))
+        fake = jnp.mean(jax.nn.relu(1.0 + fake_out))
         return (real + fake) / 2.0
     if gan_type == "lsgan":
-        return (jnp.mean((real_logits - 1.0) ** 2)
-                + jnp.mean(fake_logits ** 2)) / 2.0
+        return (jnp.mean((real_out - 1.0) ** 2)
+                + jnp.mean(fake_out ** 2)) / 2.0
     if gan_type == "nsgan":
-        return (jnp.mean(-jax.nn.log_sigmoid(real_logits))
-                + jnp.mean(-jax.nn.log_sigmoid(-fake_logits))) / 2.0
+        return (_bce(real_out, 1.0) + _bce(fake_out, 0.0)) / 2.0
     raise ValueError(gan_type)
 
 
@@ -243,6 +256,26 @@ def flow_loss(pred_flows, gt_flows, masks, frames):
             cf, gt_flows[i].reshape(-1, H, W, 2), mf,
             currents[i].reshape(-1, H, W, 3), nexts[i].reshape(-1, H, W, 3))
     return loss, warp_loss
+
+
+def flow_simple_loss(pred_flows, gt_flows):
+    """Plain L1 of predicted flow vs area-downscaled, magnitude-rescaled GT
+    flow. Reference FlowSimpleLoss (flow_comp_raft.py:247-265) — unused by
+    the reference's released configs, provided for completeness.
+
+    pred_flows/gt_flows: [fwd, bwd], each (B, T-1, h, w, 2) / (B, T-1, H, W, 2)
+    with H/h == W/w an integer (torch 'area' interpolation at an integer
+    factor == average pooling).
+    """
+    loss = 0.0
+    for pf, gf in zip(pred_flows, gt_flows):
+        _, _, h, w, _ = pf.shape
+        _, _, H, W, _ = gf.shape
+        assert H % h == 0 and W % w == 0, "area resize needs integer factor"
+        fy, fx = H // h, W // w
+        g = gf.reshape(-1, h, fy, w, fx, 2).mean(axis=(2, 4)) * (h / H)
+        loss += jnp.mean(jnp.abs(pf.reshape(-1, h, w, 2) - g))
+    return loss
 
 
 def edge_bce(pred_edges, gt_edges):

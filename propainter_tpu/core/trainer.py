@@ -98,10 +98,20 @@ class PropainterTrainConfig:
     adversarial_weight: float = 0.01
     gan_type: str = "hinge"
     use_discriminator: bool = True
+    # temporal-kernel-1 T-PatchGAN variant (reference core/trainer.py:89-90
+    # selects Discriminator_2D when config['model']['dis_2d'])
+    dis_2d: bool = False
     interp_mode: str = "nearest"
     # LPIPS perceptual loss (reference core/trainer.py:66-69,414-418;
     # configured off by default per configs/train_propainter.json:20)
     perceptual_weight: float = 0.0
+
+
+def _make_discriminator(config: PropainterTrainConfig) -> Discriminator:
+    """Reference core/trainer.py:88-96: Discriminator_2D when dis_2d, and
+    use_sigmoid iff the GAN loss is not hinge."""
+    return Discriminator(in_channels=3, kd=1 if config.dis_2d else 3,
+                         use_sigmoid=config.gan_type != "hinge")
 
 
 def init_propainter_state(
@@ -115,7 +125,7 @@ def init_propainter_state(
     B, T, H, W = sample_shape
     l_t = config.num_local_frames
     gen = InpaintGenerator()
-    dis = Discriminator(in_channels=3)
+    dis = _make_discriminator(config)
     k1, k2 = jax.random.split(rng)
     gen_params = gen.init(
         k1, jnp.zeros((B, T, H, W, 3)),
@@ -153,7 +163,7 @@ def make_propainter_train_step(
     reference core/trainer.py:66-69 builds LPIPSLoss under the same gate).
     """
     gen = InpaintGenerator()
-    dis = Discriminator(in_channels=3)
+    dis = _make_discriminator(config)
     raft = RAFT()
     flowcomp = RecurrentFlowCompleteNet()
     l_t = config.num_local_frames
@@ -340,7 +350,9 @@ def make_flow_train_step(config: FlowTrainConfig, tx, raft_iters: int = 20,
         mag = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
         peak = jnp.max(mag)
         mag = jnp.where(peak < 1, jnp.zeros_like(mag), mag / peak)
-        edges = canny_edges(mag)
+        # the reference trainer's Canny uses sigma=(2,2)
+        # (trainer_flow_w_edge.py:60), not the canny() default (1,1)
+        edges = canny_edges(mag, sigma=2.0)
         return edges.reshape(B, T, H, W, 1)
 
     def train_step(state: FlowTrainState, batch):

@@ -871,9 +871,13 @@ class InpaintGenerator(nn.Module):
 
         trans_feat = SoftSplit(self.hidden, name="ss")(
             enc_feat.reshape(-1, h, w, c), B, fold_feat_size)
+        # the flash kernel is inference-only (no VJP); under train fall back
+        # to the dense xla formulation instead of failing deep inside pallas
+        attn_impl = ("xla" if train and self.attention_impl == "flash"
+                     else self.attention_impl)
         trans_feat = TemporalSparseTransformerBlock(
             self.hidden, self.num_heads, self.window_size, self.pool_size,
-            self.depths, self.attention_impl, name="transformers")(
+            self.depths, attn_impl, name="transformers")(
                 trans_feat, fold_feat_size, mask_pool_l, t_dilation,
                 frame_valid)
         trans_feat = SoftComp(self.channel, name="sc")(

@@ -71,15 +71,18 @@ def canny_edges(
     high_threshold: float = 0.2,
     hysteresis: bool = True,
     eps: float = 1e-6,
+    sigma: float = 1.0,
 ) -> jnp.ndarray:
     """Canny edges of a single-channel image.
 
     Args:
       x: (B, H, W, 1) grayscale in [0, 1].
+      sigma: gaussian blur std (reference canny() default 1; the flow
+        trainer constructs Canny(sigma=(2, 2)), trainer_flow_w_edge.py:60).
     Returns:
       (B, H, W, 1) edge map in {0, (0.5 if not hysteresis), 1}.
     """
-    gk = _gaussian_kernel1d(5, 1.0)
+    gk = _gaussian_kernel1d(5, sigma)
     blurred = _conv_same(x, gk[None, :], "reflect")       # horizontal
     blurred = _conv_same(blurred, gk[:, None], "reflect")  # vertical
 

@@ -228,7 +228,11 @@ def modulated_deform_conv2d_banded(
     Cg = C // dg
     D = 2 * band  # displacements d - (band - 1) for d in [0, D)
 
-    # displacement of each sample from its output position
+    # displacement of each sample from its output position. Offsets beyond
+    # the static band would silently sample zero weight everywhere; clamp to
+    # the contract (|offset| <= band - 2) so an out-of-contract caller gets
+    # saturated sampling instead of corrupt (all-zero) output.
+    offset = jnp.clip(offset, -(band - 2.0), band - 2.0)
     ky = jnp.asarray(np.repeat(np.arange(kh) - 1, kw), x.dtype)  # (K,)
     kx = jnp.asarray(np.tile(np.arange(kw) - 1, kh), x.dtype)
     rel_y = offset[..., 0] + ky  # (B, H, W, dg, K)

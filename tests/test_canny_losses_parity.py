@@ -32,6 +32,22 @@ def test_canny_parity(rng):
     np.testing.assert_allclose(np.asarray(ours), _nhwc(edges_t), atol=1e-5)
 
 
+def test_canny_trainer_config_parity(rng):
+    """The flow trainer's Canny(sigma=(2,2)) config (trainer_flow_w_edge.py:60)
+    on a NOISY normalized-flow-magnitude input — the regime GT edges are
+    computed in (caught a hardcoded sigma=1 via gradient-parity testing)."""
+    from propainter_tpu.ops.canny import canny_edges
+    ref = import_reference_module("model.canny.canny_filter")
+
+    mag = rng.uniform(0, 1, (2, 1, 32, 48)).astype(np.float32)
+    c = ref.Canny(sigma=(2, 2), low_threshold=0.1, high_threshold=0.2)
+    with torch.no_grad():
+        _, edges_t = c(torch.from_numpy(mag))
+
+    ours = canny_edges(jnp.asarray(np.moveaxis(mag, 1, -1)), sigma=2.0)
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(edges_t), atol=1e-5)
+
+
 def test_flow_loss_parity(rng):
     from propainter_tpu.core import losses as L
     ref = import_reference_module("model.modules.flow_comp_raft")
@@ -99,3 +115,28 @@ def test_adversarial_losses(rng):
     d = float(L.adversarial_d_loss(jnp.asarray(logits), jnp.asarray(logits)))
     np.testing.assert_allclose(g, g_t, rtol=1e-5)
     np.testing.assert_allclose(d, (d_real_t + d_fake_t) / 2, rtol=1e-5)
+
+
+def test_flow_simple_loss_parity(rng):
+    from propainter_tpu.core import losses as L
+    ref = import_reference_module("model.modules.flow_comp_raft")
+
+    B, T, H, W = 1, 3, 32, 48
+    h, w = H // 4, W // 4
+    pred_f = rng.standard_normal((B, T - 1, h, w, 2)).astype(np.float32)
+    pred_b = rng.standard_normal((B, T - 1, h, w, 2)).astype(np.float32)
+    gt_f = (2 * rng.standard_normal((B, T - 1, H, W, 2))).astype(np.float32)
+    gt_b = (2 * rng.standard_normal((B, T - 1, H, W, 2))).astype(np.float32)
+
+    with torch.no_grad():
+        fsl = ref.FlowSimpleLoss()
+        loss_t = fsl(
+            [_nchw(pred_f.reshape(-1, h, w, 2)).view(B, T - 1, 2, h, w),
+             _nchw(pred_b.reshape(-1, h, w, 2)).view(B, T - 1, 2, h, w)],
+            [_nchw(gt_f.reshape(-1, H, W, 2)).view(B, T - 1, 2, H, W),
+             _nchw(gt_b.reshape(-1, H, W, 2)).view(B, T - 1, 2, H, W)])
+
+    loss = L.flow_simple_loss(
+        [jnp.asarray(pred_f), jnp.asarray(pred_b)],
+        [jnp.asarray(gt_f), jnp.asarray(gt_b)])
+    np.testing.assert_allclose(float(loss), loss_t.item(), rtol=1e-4)

@@ -135,9 +135,18 @@ def install_fake_torchvision():
     transforms.Compose = Compose
     tv.transforms = transforms
 
+    # empty models.vgg: reference model/vgg_arch.py:5 imports it at module
+    # level but only touches it when a VGG extractor is instantiated
+    models = types.ModuleType("torchvision.models")
+    vgg = types.ModuleType("torchvision.models.vgg")
+    models.vgg = vgg
+    tv.models = models
+
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.vgg"] = vgg
 
 
 def install_fake_skimage():
@@ -153,6 +162,21 @@ def install_fake_skimage():
     sys.modules["skimage.measure"] = measure
 
 
+def install_fake_lpips():
+    """lpips isn't installed; reference core/loss.py imports it at module
+    level (only LPIPSLoss instantiates lpips.LPIPS)."""
+    if "lpips" in sys.modules:
+        return
+    lp = types.ModuleType("lpips")
+
+    class LPIPS:  # placeholder: tests never instantiate LPIPSLoss
+        def __init__(self, *a, **k):
+            raise RuntimeError("lpips not available in tests")
+
+    lp.LPIPS = LPIPS
+    sys.modules["lpips"] = lp
+
+
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -162,6 +186,7 @@ def import_reference_module(name: str):
     """Import a module from the reference repo (with fake torchvision)."""
     install_fake_torchvision()
     install_fake_skimage()
+    install_fake_lpips()
     add_reference_to_path()
     import importlib
 
