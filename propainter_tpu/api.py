@@ -21,6 +21,26 @@ class ProInpainter:
         """params: {'raft': ..., 'flowcomp': ..., 'inpaint': ...}."""
         self.params = params
         self.precision = precision
+        # pipelines cached per config: repeated inpaint() calls (the demo's
+        # slider loop) reuse the jitted stage executables instead of paying
+        # a fresh trace+compile each time
+        self._pipelines: dict[tuple, ProPainterPipeline] = {}
+
+    def _pipeline(self, ref_stride, neighbor_length, subvideo_length,
+                  raft_iter) -> ProPainterPipeline:
+        key = (ref_stride, neighbor_length, subvideo_length, raft_iter)
+        pipe = self._pipelines.get(key)
+        if pipe is None:
+            pipe = ProPainterPipeline(
+                self.params["raft"], self.params["flowcomp"],
+                self.params["inpaint"],
+                PipelineConfig(ref_stride=ref_stride,
+                               neighbor_length=neighbor_length,
+                               subvideo_length=subvideo_length,
+                               raft_iter=raft_iter,
+                               precision=self.precision))
+            self._pipelines[key] = pipe
+        return pipe
 
     def inpaint(
         self,
@@ -62,13 +82,7 @@ class ProInpainter:
             binary_dilation_cross(m, dilate_radius) for m in masks])
         masks_dilated = flow_masks
 
-        pipe = ProPainterPipeline(
-            self.params["raft"], self.params["flowcomp"],
-            self.params["inpaint"],
-            PipelineConfig(ref_stride=ref_stride,
-                           neighbor_length=neighbor_length,
-                           subvideo_length=subvideo_length,
-                           raft_iter=raft_iter,
-                           precision=self.precision))
+        pipe = self._pipeline(ref_stride, neighbor_length, subvideo_length,
+                              raft_iter)
         out = pipe.inpaint_video(frames, flow_masks, masks_dilated)
         return np.stack(out)

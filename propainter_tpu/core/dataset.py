@@ -198,7 +198,14 @@ class TestDataset:
 
 class PrefetchLoader:
     """Thread-pool batch loader with a bounded prefetch queue.
-    Replaces reference core/prefetch_dataloader.py:7-81."""
+    Replaces reference core/prefetch_dataloader.py:7-81.
+
+    Sampling follows torch DistributedSampler semantics (reference
+    core/trainer.py:40-43): one shared permutation per epoch (seeded
+    seed+epoch, identical across shards), padded by wrapping to a multiple
+    of num_shards, then strided by shard — every item is seen exactly once
+    per epoch per shard set. A trailing partial batch rolls into the next
+    epoch's order (no item is dropped)."""
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  prefetch: int = 4, seed: int = 0, shard_index: int = 0,
@@ -207,9 +214,12 @@ class PrefetchLoader:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
-        self.rng = random.Random(seed + shard_index)
+        self.seed = seed
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.epoch = 0
+        self._order: list[int] = []
+        self._pos = 0
         self._stop = threading.Event()
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
@@ -219,11 +229,32 @@ class PrefetchLoader:
         for t in self._threads:
             t.start()
 
+    def _refill(self):
+        """New epoch: reshuffle (same permutation on every shard) and take
+        this shard's stride. Called with self._lock held."""
+        rng = random.Random(self.seed + self.epoch)
+        order = list(range(len(self.dataset)))
+        rng.shuffle(order)
+        # pad by wrapping so shards stay equal-sized (DistributedSampler)
+        total = -(-len(order) // self.num_shards) * self.num_shards
+        order += order[: total - len(order)]
+        self._order.extend(order[self.shard_index :: self.num_shards])
+        self.epoch += 1
+
+    def _next_indices(self) -> list[int]:
+        with self._lock:
+            while len(self._order) - self._pos < self.batch_size:
+                self._refill()
+            idxs = self._order[self._pos : self._pos + self.batch_size]
+            self._pos += self.batch_size
+            if self._pos > 4 * self.batch_size:  # keep the list bounded
+                del self._order[: self._pos]
+                self._pos = 0
+        return idxs
+
     def _worker(self):
         while not self._stop.is_set():
-            with self._lock:
-                idxs = [self.rng.randrange(len(self.dataset))
-                        for _ in range(self.batch_size)]
+            idxs = self._next_indices()
             items = [self.dataset[i] for i in idxs]
             batch = {
                 k: np.stack([it[k] for it in items])

@@ -81,37 +81,122 @@ class ClickSegmenter:
 
 
 class FlowMaskTracker:
-    """Video object mask tracking by optical-flow warping.
+    """Video object mask tracking by optical-flow warping with
+    forward-backward consistency gating and appearance re-anchoring.
 
-    Warps the running mask frame-to-frame with backward RAFT flow
-    (mask_t = mask_{t-1} sampled at x + flow_{t->t-1}(x)), then re-binarizes
-    and closes small holes. Flow comes from the same frozen RAFT the
-    inpainting pipeline uses — no extra model weights needed (the reference
-    instead vendors the 3.6k-LoC Cutie tracker, tracker/base_tracker.py:17).
+    Per frame:
+      1. warp the running mask with backward RAFT flow
+         (mask_t = mask_{t-1} sampled at x + flow_{t->t-1}(x));
+      2. gate by fb-consistency (|f_bwd + warp(f_fwd)| small — same check the
+         inpainting pipeline's image propagation uses): inconsistent pixels
+         (occlusions/disocclusions) keep a soft vote instead of a hard one;
+      3. re-anchor appearance with GrabCut seeded from the warped mask
+         (eroded core = FG, dilated complement = BG) — pulls the boundary
+         back to the object every frame, so warp drift does not accumulate;
+         falls back to the pure flow mask when GrabCut degenerates.
+
+    Flow comes from the same frozen RAFT the inpainting pipeline uses — no
+    extra model weights needed (the reference instead vendors the 3.6k-LoC
+    Cutie tracker, tracker/base_tracker.py:17; see COVERAGE.md for the
+    measured IoU gap vs Cutie-grade tracking).
     """
 
-    def __init__(self, raft_params, raft_iter: int = 20, threshold: float = 0.5,
-                 close_kernel: int = 5):
+    def __init__(self, raft_params=None, raft_iter: int = 20,
+                 threshold: float = 0.5, close_kernel: int = 5,
+                 reanchor: bool = True, flow_fn=None,
+                 fb_alpha1: float = 0.01, fb_alpha2: float = 0.5):
+        """raft_params: converted raft-things.pth params (production flow).
+        flow_fn: optional override `(frame_a, frame_b) -> (H, W, 2)` pixel
+        flow a->b (e.g. a classical estimator for weight-free environments);
+        when given, raft_params is unused."""
         import jax
-        from propainter_tpu.models.raft import RAFT
 
-        self._raft = RAFT()
-        self._params = raft_params
         self.raft_iter = raft_iter
         self.threshold = threshold
         self.close_kernel = close_kernel
-        self._flow_fn = jax.jit(
-            lambda a, b: self._raft.apply({"params": self._params}, a, b,
-                                          iters=self.raft_iter)[1])
-        self._template: np.ndarray | None = None
+        self.reanchor = reanchor
+        self.fb_alpha1 = fb_alpha1
+        self.fb_alpha2 = fb_alpha2
+
+        if flow_fn is not None:
+            self._pair_flows = lambda a, b: (flow_fn(a, b), flow_fn(b, a))
+        else:
+            assert raft_params is not None
+            from propainter_tpu.models.raft import RAFT
+            import jax.numpy as jnp
+
+            raft = RAFT()
+
+            def _raft_pair(a8, b8):
+                a = jnp.asarray(a8[None].astype(np.float32) / 255 * 2 - 1)
+                b = jnp.asarray(b8[None].astype(np.float32) / 255 * 2 - 1)
+                flow = self._raft_fn(
+                    jnp.concatenate([a, b], 0), jnp.concatenate([b, a], 0))
+                f = np.asarray(flow)
+                return f[0], f[1]
+
+            self._raft_fn = jax.jit(
+                lambda x, y: raft.apply({"params": raft_params}, x, y,
+                                        iters=self.raft_iter)[1])
+            self._pair_flows = _raft_pair
+
+        def _gate(mask, flow_ab, flow_ba):
+            """Warp the mask along a->b flow and fb-consistency-gate it
+            (reference model/propainter.py:22-31 fbConsistencyCheck)."""
+            import jax.numpy as jnp
+            from propainter_tpu.ops.warp import flow_warp
+
+            fab = flow_ab[None]
+            fba = flow_ba[None]
+            fwd_at_a = flow_warp(fba, fab, "bilinear")
+            err = jnp.sum(jnp.square(fab + fwd_at_a), -1, keepdims=True)
+            mag = (jnp.sum(jnp.square(fab), -1, keepdims=True)
+                   + jnp.sum(jnp.square(fwd_at_a), -1, keepdims=True))
+            valid = (err < self.fb_alpha1 * mag + self.fb_alpha2).astype(
+                jnp.float32)
+            soft = flow_warp(mask[None, ..., None], fab, "bilinear")
+            return soft[0, ..., 0], valid[0, ..., 0]
+
+        self._gate_fn = jax.jit(_gate)
         self._prev_frame: np.ndarray | None = None
         self._mask: np.ndarray | None = None
 
     def clear_memory(self):
         """Reset tracking state (reference BaseTracker.clear_memory)."""
-        self._template = None
         self._prev_frame = None
         self._mask = None
+
+    def _grabcut_refine(self, frame: np.ndarray,
+                        mask: np.ndarray) -> np.ndarray:
+        """Appearance re-anchor: GrabCut seeded by the flow-warped mask."""
+        import cv2
+
+        area = int(mask.sum())
+        if area < 16:
+            return mask
+        r = max(3, int(np.sqrt(area) * 0.15))
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2 * r + 1,) * 2)
+        core = cv2.erode(mask, k)
+        halo = cv2.dilate(mask, k)
+        if core.sum() == 0:
+            core = mask
+        gc = np.full(mask.shape, cv2.GC_BGD, np.uint8)
+        gc[halo > 0] = cv2.GC_PR_BGD
+        gc[mask > 0] = cv2.GC_PR_FGD
+        gc[core > 0] = cv2.GC_FGD
+        bgd = np.zeros((1, 65), np.float64)
+        fgd = np.zeros((1, 65), np.float64)
+        bgr = frame[..., ::-1].copy()
+        try:
+            cv2.grabCut(bgr, gc, None, bgd, fgd, 3, cv2.GC_INIT_WITH_MASK)
+        except cv2.error:
+            return mask
+        ref = ((gc == cv2.GC_FGD) | (gc == cv2.GC_PR_FGD)).astype(np.uint8)
+        # sanity: reject blow-ups/collapses (textureless scenes confuse the
+        # color model) and keep the flow answer instead
+        if not (0.3 * area <= ref.sum() <= 2.5 * area):
+            return mask
+        return ref
 
     def track(self, frame: np.ndarray, first_frame_annotation=None):
         """Track one frame. First call must pass the template mask.
@@ -125,7 +210,6 @@ class FlowMaskTracker:
         """
         import cv2
         import jax.numpy as jnp
-        from propainter_tpu.ops.warp import flow_warp
 
         if first_frame_annotation is not None:
             self._mask = (np.asarray(first_frame_annotation) > 0).astype(
@@ -135,20 +219,23 @@ class FlowMaskTracker:
             return self._mask, logit, paint_mask(frame, self._mask)
 
         assert self._mask is not None, "call track(frame, template) first"
-        a = jnp.asarray(
-            frame[None].astype(np.float32) / 255.0 * 2 - 1)
-        b = jnp.asarray(
-            self._prev_frame[None].astype(np.float32) / 255.0 * 2 - 1)
-        flow = self._flow_fn(a, b)  # frame -> prev
-        soft = flow_warp(
-            jnp.asarray(self._mask[None, ..., None].astype(np.float32)),
-            flow, "bilinear")
-        soft_np = np.asarray(soft[0, ..., 0])
-        mask = (soft_np > self.threshold).astype(np.uint8)
+        flow_ab, flow_ba = self._pair_flows(frame, self._prev_frame)
+        soft, valid = self._gate_fn(
+            jnp.asarray(self._mask.astype(np.float32)),
+            jnp.asarray(np.asarray(flow_ab, np.float32)),
+            jnp.asarray(np.asarray(flow_ba, np.float32)))
+        soft_np = np.asarray(soft)
+        valid_np = np.asarray(valid)
+        # consistent pixels vote hard; occluded ones keep a weaker vote so
+        # the object is not eaten frame-by-frame at motion boundaries
+        score = soft_np * (0.5 + 0.5 * valid_np)
+        mask = (score > self.threshold * 0.5).astype(np.uint8)
         if self.close_kernel:
             k = cv2.getStructuringElement(
                 cv2.MORPH_ELLIPSE, (self.close_kernel, self.close_kernel))
             mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, k)
+        if self.reanchor:
+            mask = self._grabcut_refine(frame, mask)
         self._mask = mask
         self._prev_frame = frame
         return mask, soft_np, paint_mask(frame, mask)
