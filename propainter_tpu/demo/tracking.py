@@ -241,12 +241,57 @@ class FlowMaskTracker:
         return mask, soft_np, paint_mask(frame, mask)
 
 
+class CutieTracker:
+    """Memory-based VOS tracking with the Cutie model (JAX port,
+    models/cutie.py + demo/cutie_core.py) — the real counterpart of the
+    reference's BaseTracker (tracker/base_tracker.py:17,53), same per-frame
+    track() API. Requires converted cutie-base-mega.pth params."""
+
+    def __init__(self, cutie_params, **core_kwargs):
+        from propainter_tpu.demo.cutie_core import CutieCore, CutieCoreConfig
+
+        self._core = CutieCore(
+            cutie_params,
+            config=CutieCoreConfig(**core_kwargs) if core_kwargs else None)
+        self._labels: list[int] | None = None
+
+    def clear_memory(self):
+        self._core.clear_memory()
+        self._labels = None
+
+    def track(self, frame: np.ndarray, first_frame_annotation=None):
+        """frame (H, W, 3) uint8; first_frame_annotation (H, W) int labels
+        on the first call (0 = background). Returns (mask, logit, painted)
+        like the reference BaseTracker.track."""
+        if first_frame_annotation is not None:
+            ann = np.asarray(first_frame_annotation)
+            # MaskMapper equivalent (tracker/utils/mask_mapper.py): split an
+            # id-mask into per-object binary channels
+            self._labels = [int(v) for v in np.unique(ann) if v != 0]
+            if not self._labels:
+                self._labels = [1]
+            masks = np.stack([(ann == l).astype(np.float32)
+                              for l in self._labels])
+            prob = self._core.step(frame, masks)
+        else:
+            assert self._labels is not None, "seed with an annotation first"
+            prob = self._core.step(frame)
+        idx = np.argmax(prob, axis=0)  # 0 = background
+        mask = np.zeros(idx.shape, np.uint8)
+        for i, l in enumerate(self._labels):
+            mask[idx == i + 1] = l
+        logit = 1.0 - prob[0]
+        return mask, logit.astype(np.float32), paint_mask(frame, mask)
+
+
 class TrackingFacade:
     """Compose segmenter + tracker + inpainter.
 
     Mirrors reference TrackingAnything (track_anything.py:9-35):
     `first_frame_click` seeds a mask, `generator` tracks it through all
-    frames, `inpaint` removes the object.
+    frames, `inpaint` removes the object. With converted Cutie weights in
+    `params['cutie']` the memory-based CutieTracker is used (the reference's
+    tracker); otherwise the weight-free FlowMaskTracker stands in.
     """
 
     def __init__(self, params: dict, segmenter=None, tracker=None,
@@ -254,7 +299,11 @@ class TrackingFacade:
         from propainter_tpu.api import ProInpainter
 
         self.segmenter = segmenter or ClickSegmenter()
-        self.tracker = tracker or FlowMaskTracker(params["raft"])
+        if tracker is None:
+            tracker = (CutieTracker(params["cutie"])
+                       if params.get("cutie") is not None
+                       else FlowMaskTracker(params["raft"]))
+        self.tracker = tracker
         self.inpainter = ProInpainter(params, precision=precision)
 
     def first_frame_click(self, image, points, labels, box=None):

@@ -177,6 +177,69 @@ def install_fake_lpips():
     sys.modules["lpips"] = lp
 
 
+def install_fake_omegaconf():
+    """omegaconf isn't installed; the vendored Cutie tracker
+    (web-demos/hugging_face/tracker/*) uses DictConfig for its config and
+    OmegaConf.create on a plain dict with '${a.b}' interpolations."""
+    if "omegaconf" in sys.modules:
+        return
+    oc = types.ModuleType("omegaconf")
+
+    class DictConfig(dict):
+        def __getattr__(self, k):
+            try:
+                v = self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+            return v
+
+    def _resolve(node, root):
+        if isinstance(node, dict):
+            return DictConfig({k: _resolve(v, root) for k, v in node.items()})
+        if isinstance(node, str) and node.startswith("${") and node.endswith("}"):
+            cur = root
+            for part in node[2:-1].split("."):
+                cur = cur[part]
+            return _resolve(cur, root)
+        return node
+
+    class OmegaConf:
+        @staticmethod
+        def create(d):
+            return _resolve(d, d)
+
+    oc.DictConfig = DictConfig
+    oc.OmegaConf = OmegaConf
+    sys.modules["omegaconf"] = oc
+
+
+def import_cutie_module(name: str):
+    """Import a module from the vendored Cutie tracker (the reference's web
+    demo), with fake omegaconf and resnet downloads disabled."""
+    install_fake_torchvision()
+    install_fake_omegaconf()
+    demo_root = REFERENCE_ROOT + "/web-demos/hugging_face"
+    if demo_root not in sys.path:
+        sys.path.insert(0, demo_root)
+    import importlib
+
+    resnet = importlib.import_module("tracker.model.utils.resnet")
+    if not getattr(resnet, "_offline_patched", False):
+        # pretrained=True would hit model_zoo (no network); parity tests use
+        # random weights anyway
+        _r18, _r50 = resnet.resnet18, resnet.resnet50
+
+        def r18(pretrained=True, extra_dim=0):
+            return _r18(False, extra_dim)
+
+        def r50(pretrained=True, extra_dim=0):
+            return _r50(False, extra_dim)
+
+        resnet.resnet18, resnet.resnet50 = r18, r50
+        resnet._offline_patched = True
+    return importlib.import_module(name)
+
+
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
