@@ -10,9 +10,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
 
 vs_baseline uses BASELINE_FPS = 10.0 frames/sec — an A100-class estimate for
-the reference at 432x240 (the repo publishes no latency numbers;
-scripts/evaluate_propainter.py measures ~0.1 s/frame-class times on datacenter
-GPUs). Revise when a measured A100 number is available.
+the reference at 432x240, derived in BASELINE.md from measured per-frame
+FLOPs (515 GFLOP/frame via tools/flops_baseline.py), the realized-MFU class
+of this bandwidth-bound workload, and the ~0.1 s/frame latency class the
+reference's eval harness reports on datacenter GPUs. Accurate to ~2x;
+revise when a measured A100 number is available.
 """
 
 import json
@@ -102,12 +104,15 @@ def main():
     # metric is the full 4-stage pipeline, compositing included, on device.
     frames = jnp.asarray(frames_np[None].astype(np.float32) / 255 * 2 - 1)
     masks = jnp.asarray(mask_np[None, ..., None].astype(np.float32))
+    # original frames pre-uploaded once: stage 4 composites against them on
+    # device; re-uploading per pass would measure the dev tunnel's H2D
+    ori_dev = jnp.asarray(frames_np).astype(jnp.float32)
 
     def run():
         gt = pipe.compute_flows(frames)
         pred = pipe.complete_flows(gt, masks)
         upd_frames, upd_masks = pipe.propagate_images(frames, pred, masks)
-        out = pipe.generate(upd_frames, pred, masks, upd_masks, frames_np)
+        out = pipe.generate(upd_frames, pred, masks, upd_masks, ori_dev)
         # hard sync: on the axon tunnel, block_until_ready returns before
         # device completion — only a host readback truly synchronizes.
         # Fetch one pixel (needs the whole output buffer materialized).

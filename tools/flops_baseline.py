@@ -19,7 +19,10 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # lowering-only: no TPU needed
 
 import numpy as np
 import jax.numpy as jnp
@@ -29,7 +32,9 @@ from propainter_tpu.pipeline import get_short_clip_len
 
 
 def cost(jitted, *args, **kwargs):
-    c = jitted.lower(*args, **kwargs).compile().cost_analysis()
+    """XLA client-side HLO cost analysis on the lowered module (no backend
+    compile)."""
+    c = jitted.lower(*args, **kwargs).cost_analysis()
     if isinstance(c, list):
         c = c[0]
     return float(c.get("flops", 0.0))
@@ -68,17 +73,8 @@ def main():
     print(f"stage3 image propagation: {flops3/1e12:.2f} TFLOP")
     total += flops3
 
-    # stage 4: run generate once (to build the group executables), then sum
-    # the same lowerings. Simpler: use the window schedule directly.
-    upd = frames
-    out = pipe.generate(upd, (ff, ff), masks, masks, frames_np)
-    np.asarray(out[0, 0, 0])  # fence
-    # cost of each cached group executable:
-    flops4 = 0.0
-    # pipe._generate_group is a jit; re-lower with the same args is complex —
-    # instead approximate from the per-window generator cost times windows.
+    # stage 4: sum per-window generator lowerings over the window schedule
     from propainter_tpu.models.propainter import InpaintGenerator
-    import jax
 
     neighbor_stride = pipe.config.neighbor_length // 2
     windows = []
