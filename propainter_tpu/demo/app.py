@@ -107,10 +107,10 @@ def main(argv=None):
             "  masks, _, _ = facade.generator(frames, mask)\n"
             "  out = facade.inpaint(frames, masks)")
 
-    from propainter_tpu.cli.inference import load_params
-    from propainter_tpu.demo.tracking import TrackingFacade
+    from propainter_tpu.demo.tracking import TrackingFacade, load_demo_params
 
-    facade = TrackingFacade(load_params(args.weights))
+    params, sam_type = load_demo_params(args.weights)
+    facade = TrackingFacade(params, sam_model_type=sam_type)
     build_app(facade).launch(server_port=args.port)
 
 

@@ -295,10 +295,19 @@ class TrackingFacade:
     """
 
     def __init__(self, params: dict, segmenter=None, tracker=None,
-                 precision: str = "bf16"):
+                 precision: str = "bf16", sam_model_type: str = "vit_h"):
         from propainter_tpu.api import ProInpainter
 
-        self.segmenter = segmenter or ClickSegmenter()
+        if segmenter is None:
+            if params.get("sam") is not None:
+                from propainter_tpu.demo.segmenter import (
+                    SamSegmenter, SamControler)
+
+                segmenter = SamControler(SamSegmenter(
+                    params["sam"], model_type=sam_model_type))
+            else:
+                segmenter = ClickSegmenter()
+        self.segmenter = segmenter
         if tracker is None:
             tracker = (CutieTracker(params["cutie"])
                        if params.get("cutie") is not None
@@ -307,7 +316,8 @@ class TrackingFacade:
         self.inpainter = ProInpainter(params, precision=precision)
 
     def first_frame_click(self, image, points, labels, box=None):
-        return self.segmenter.first_frame_click(image, points, labels, box)
+        return self.segmenter.first_frame_click(image, points, labels,
+                                                box=box)
 
     def generator(self, images: Sequence[np.ndarray],
                   template_mask: np.ndarray):
@@ -326,6 +336,40 @@ class TrackingFacade:
     def inpaint(self, frames: np.ndarray, masks: np.ndarray, **kw):
         return self.inpainter.inpaint(np.asarray(frames), np.asarray(masks),
                                       **kw)
+
+
+def load_demo_params(weights_dir: str) -> tuple[dict, str]:
+    """Load the inpainting bundle plus the demo's optional segmenter/tracker
+    checkpoints (the reference demo downloads sam_vit_h_4b8939.pth and
+    cutie-base-mega.pth next to the ProPainter weights,
+    web-demos/hugging_face/app.py).
+
+    Returns (params, sam_model_type). Missing demo checkpoints degrade
+    gracefully: no SAM -> GrabCut ClickSegmenter, no Cutie -> FlowMaskTracker.
+    """
+    import glob
+    import os
+
+    from propainter_tpu.cli.inference import load_params
+
+    params = dict(load_params(weights_dir))
+    sam_type = "vit_h"
+    if weights_dir != "random":
+        cutie = os.path.join(weights_dir, "cutie-base-mega.pth")
+        if os.path.exists(cutie):
+            from propainter_tpu.models.cutie import load_cutie_params
+
+            params["cutie"] = load_cutie_params(cutie)
+        sams = sorted(glob.glob(os.path.join(weights_dir, "sam_vit_*.pth")))
+        if sams:
+            from propainter_tpu.models.sam import load_sam_params
+
+            name = os.path.basename(sams[-1])
+            for t in ("vit_b", "vit_l", "vit_h"):
+                if name.startswith(f"sam_{t}"):
+                    sam_type = t
+            params["sam"] = load_sam_params(sams[-1], sam_type)
+    return params, sam_type
 
 
 def paint_mask(image: np.ndarray, mask: np.ndarray,

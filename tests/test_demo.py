@@ -85,3 +85,32 @@ def test_facade_requires_gradio_free_api(raft_params):
 
     pm = paint_mask(frames[0], template)
     assert pm.shape == frames[0].shape and pm.dtype == np.uint8
+
+
+def test_facade_selects_sam_segmenter(monkeypatch):
+    """params['sam'] present -> the facade builds the SAM stack (the
+    reference demo always runs SAM; GrabCut is the weight-free fallback)."""
+    import propainter_tpu.api as api_mod
+    from propainter_tpu.demo.segmenter import SamControler
+    from propainter_tpu.demo.tracking import TrackingFacade, FlowMaskTracker
+    from tests.test_sam_parity import TINY, _randomize
+    from tests import torch_sam
+    from propainter_tpu.models.sam import convert_sam_state_dict
+
+    class _StubInpainter:
+        def __init__(self, params, **kw):
+            pass
+
+    monkeypatch.setattr(api_mod, "ProInpainter", _StubInpainter)
+    sam_params = convert_sam_state_dict(
+        _randomize(torch_sam.Sam(TINY), 11).state_dict())
+
+    class _StubTracker:
+        def clear_memory(self):
+            pass
+
+    facade = TrackingFacade({"sam": sam_params}, tracker=_StubTracker())
+    assert isinstance(facade.segmenter, SamControler)
+    facade.segmenter.sam_controler.config = TINY
+    facade.segmenter.sam_controler.model = __import__(
+        "propainter_tpu.models.sam", fromlist=["Sam"]).Sam(TINY)
