@@ -111,6 +111,10 @@ class BidirectionalPropagation3D(nn.Module):
     Reference model/recurrent_flow_completion.py:46-124."""
 
     channels: int
+    # scan unroll factor: the per-step bodies are tiny (latency-bound at
+    # the 1/8-res grid), so unrolling amortizes loop bookkeeping and lets
+    # XLA fuse across consecutive steps
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -125,6 +129,7 @@ class BidirectionalPropagation3D(nn.Module):
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
+                unroll=self.unroll,
             )(c, name=name)
             zeros = jnp.zeros((B, H, W, c), x.dtype)
             (_, _, _), out = scan((jnp.int32(0), zeros, zeros), (inputs, extra))
@@ -177,6 +182,8 @@ class RecurrentFlowCompleteNet(nn.Module):
       -> (flow (B,T,H,W,2), edge (B,T,H,W,1) | None)
     """
 
+    scan_unroll: int = 1
+
     @nn.compact
     def __call__(self, masked_flows, masks, train: bool = False):
         B, T, H, W, _ = masked_flows.shape
@@ -199,7 +206,8 @@ class RecurrentFlowCompleteNet(nn.Module):
         m = leaky_relu(Conv3d(128, (1, 3, 3), (1, 1, 1), (0, 1, 1),
                               name="mid_dilation_4")(m), 0.2)
 
-        prop = BidirectionalPropagation3D(128, name="feat_prop_module")(m)
+        prop = BidirectionalPropagation3D(
+            128, unroll=self.scan_unroll, name="feat_prop_module")(m)
         h8, w8 = H // 8, W // 8
         prop = prop.reshape(B * T, h8, w8, 128)
 

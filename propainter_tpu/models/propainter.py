@@ -592,7 +592,7 @@ def _propagation_inputs(flows_for_prop, flows_for_check, reverse: bool):
 
 
 def image_propagation(x, flows_forward, flows_backward, mask,
-                      interpolation="nearest"):
+                      interpolation="nearest", unroll: int = 1):
     """Non-learnable pixel propagation with fb-consistency gating.
     Reference model/propainter.py:104-190 (learnable=False branch).
 
@@ -643,7 +643,8 @@ def image_propagation(x, flows_forward, flows_backward, mask,
     fp_t, fc_t = jnp.moveaxis(fp, 1, 0), jnp.moveaxis(fc, 1, 0)
     init = (jnp.int32(0), jnp.zeros_like(x[:, 0]), jnp.zeros_like(mask[:, 0]))
     _, (back_feats, back_masks) = jax.lax.scan(
-        make_step(), init, (xs_t[::-1], ms_t[::-1], fp_t, fc_t))
+        make_step(), init, (xs_t[::-1], ms_t[::-1], fp_t, fc_t),
+        unroll=unroll)
     back_feats = back_feats[::-1]
     back_masks = back_masks[::-1]
 
@@ -651,7 +652,8 @@ def image_propagation(x, flows_forward, flows_backward, mask,
     fp, fc = _propagation_inputs(flows_backward, flows_forward, reverse=False)
     fp_t, fc_t = jnp.moveaxis(fp, 1, 0), jnp.moveaxis(fc, 1, 0)
     _, (fwd_feats, fwd_masks) = jax.lax.scan(
-        make_step(), init, (back_feats, back_masks, fp_t, fc_t))
+        make_step(), init, (back_feats, back_masks, fp_t, fc_t),
+        unroll=unroll)
 
     prop = jnp.moveaxis(fwd_feats, 0, 1)
     updated = jnp.moveaxis(fwd_masks, 0, 1)
@@ -719,6 +721,8 @@ class FeaturePropagation(nn.Module):
     Reference model/propainter.py:72-190 (learnable=True branch)."""
 
     channel: int = 128
+    # scan unroll factor (latency-bound per-step bodies; see PERF.md)
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward, mask):
@@ -732,6 +736,7 @@ class FeaturePropagation(nn.Module):
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=0, out_axes=0,
+                unroll=self.unroll,
             )(c, name=name)
             init = (jnp.int32(0), jnp.zeros((B, H, W, c), x.dtype))
             _, out = scan(init, (inputs, masks,
@@ -775,6 +780,8 @@ class InpaintGenerator(nn.Module):
     pool_size: tuple[int, int] = (4, 4)
     # 'pallas' = fused sparse window attention kernel (inference on TPU)
     attention_impl: str = "xla"
+    # unroll factor for the feature-propagation scan (pure scheduling knob)
+    prop_unroll: int = 1
 
     @nn.compact
     def __call__(self, masked_frames, completed_flows, masks_in,
@@ -865,7 +872,7 @@ class InpaintGenerator(nn.Module):
         prop_mask_in = jnp.concatenate(
             [ds_mask_in_local, ds_mask_updated_local], axis=-1)
         local_feat = FeaturePropagation(
-            self.channel, name="feat_prop_module")(
+            self.channel, unroll=self.prop_unroll, name="feat_prop_module")(
                 local_feat, ds_flows_f, ds_flows_b, prop_mask_in)
         enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
 

@@ -1,7 +1,10 @@
 """Per-stage e2e benchmark: the bench.py workload with per-stage timings.
 
 Run from the repo root with nothing else using CPU or the TPU:
-  python tools/staged_bench.py
+  python tools/staged_bench.py            # inpaint_video (uploads per pass —
+                                          # measures the dev tunnel's ~55 MB/s
+                                          # H2D on this harness, see PERF.md)
+  DEVRES=1 python tools/staged_bench.py   # device-resident (bench.py stages)
 """
 
 import os
@@ -25,9 +28,37 @@ def main():
         print(f"window_batch={wb}")
     frames_np, mask_np = make_inputs()
 
-    def run(timings=None):
-        return pipe.inpaint_video(frames_np, mask_np, mask_np,
-                                  timings=timings)
+    if os.environ.get("DEVRES"):
+        import jax
+        import jax.numpy as jnp
+
+        frames = jnp.asarray(frames_np[None].astype(np.float32) / 255 * 2 - 1)
+        masks = jnp.asarray(mask_np[None, ..., None].astype(np.float32))
+        ori_dev = jnp.asarray(frames_np).astype(jnp.float32)
+
+        def fence(x):
+            np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+        def run(timings=None):
+            def timed(key, fn):
+                t0 = time.perf_counter()
+                out = fn()
+                fence(out)
+                if timings is not None:
+                    timings[key] = time.perf_counter() - t0
+                return out
+
+            gt = timed("raft", lambda: pipe.compute_flows(frames))
+            pred = timed("flow_completion",
+                         lambda: pipe.complete_flows(gt, masks))
+            uf, um = timed("image_propagation",
+                           lambda: pipe.propagate_images(frames, pred, masks))
+            return timed("generation",
+                         lambda: pipe.generate(uf, pred, masks, um, ori_dev))
+    else:
+        def run(timings=None):
+            return pipe.inpaint_video(frames_np, mask_np, mask_np,
+                                      timings=timings)
 
     t0 = time.perf_counter()
     run()  # warmup/compile
