@@ -46,6 +46,46 @@ def conv2d(features, kernel_size, stride=1, padding=0, groups=1, bias=True,
     )
 
 
+class SplitGroupConv2d(nn.Module):
+    """Grouped 3x3 conv computed as per-group dense convs on channel slices.
+
+    Param names/shapes are identical to ``nn.Conv(feature_group_count=g)``
+    (kernel (kh, kw, cin/g, features), bias (features,)), so checkpoints are
+    interchangeable with `conv2d`. XLA's feature_group_count lowering on v5e
+    runs measurably below per-group dense convs at the encoder's fusion
+    shapes (tools/encoder_ab.py), and taking the group inputs as a LIST of
+    slices avoids materializing the interleaved concat tensor the reference
+    builds (model/propainter.py:341-349).
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray]):
+        g = len(xs)
+        cig = xs[0].shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cig, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x0, kernel, bias = nn.dtypes.promote_dtype(
+            xs[0], kernel, bias, dtype=None)
+        cog = self.features // g
+        p = self.padding
+        outs = [
+            jax.lax.conv_general_dilated(
+                x.astype(x0.dtype), kernel[..., i * cog:(i + 1) * cog],
+                window_strides=self.stride,
+                padding=[(p[0], p[0]), (p[1], p[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            for i, x in enumerate(xs)
+        ]
+        return jnp.concatenate(outs, axis=-1) + bias
+
+
 class Conv3d(nn.Module):
     """3-D conv, NDHWC. kernel layout (kd, kh, kw, I, O).
 

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from propainter_tpu.models.layers import conv2d, leaky_relu
+from propainter_tpu.models.layers import (
+    conv2d, leaky_relu, SplitGroupConv2d)
 from propainter_tpu.ops.deform import (
     modulated_deform_conv2d_mxu,
     split_offset_mask_channels,
@@ -72,15 +73,23 @@ class Encoder(nn.Module):
             if i == 8:
                 x0 = out
             if i > 8:
-                bt, h, w, cx = x0.shape
+                cx = x0.shape[-1]
                 co = out.shape[-1]
                 g = groups
-                xg = x0.reshape(bt, h, w, g, cx // g)
-                og = out.reshape(bt, h, w, g, co // g)
-                out = jnp.concatenate([xg, og], axis=-1).reshape(
-                    bt, h, w, cx + co)
-            out = conv2d(feat, 3, stride, 1, groups=groups,
-                         name=f"layers_{i}")(out)
+                # group i input = (x0 group slice | out group slice); the
+                # grouped conv runs as per-group dense convs on these slices
+                # (SplitGroupConv2d) so the reference's interleaved concat
+                # tensor (model/propainter.py:341-349) is never materialized
+                parts = [
+                    jnp.concatenate(
+                        [x0[..., j * (cx // g):(j + 1) * (cx // g)],
+                         out[..., j * (co // g):(j + 1) * (co // g)]],
+                        axis=-1)
+                    for j in range(g)
+                ]
+                out = SplitGroupConv2d(feat, name=f"layers_{i}")(parts)
+            else:
+                out = conv2d(feat, 3, stride, 1, name=f"layers_{i}")(out)
             out = leaky_relu(out, 0.2)
         return out
 

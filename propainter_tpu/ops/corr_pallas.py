@@ -77,14 +77,22 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius):
         x0 = jnp.floor(cxl)
         fy = cyl - y0                     # (1, NL), shared by all taps
         fx = cxl - x0
-        c = c_refs[l][0].astype(jnp.float32)        # (Hc, Wc, NL)
+        # compute the shift/select stages in the volume's NATIVE dtype:
+        # bf16 slabs pack 2 values per lane slot, halving the VPU
+        # instruction count of the (Hc+pad)-slab where-chains. The col
+        # "reduce" is a one-hot SELECT (exactly one nonzero term per lane),
+        # so a bf16 reduce is exact given bf16 inputs; only the row lerp
+        # gains one bf16 rounding (the volume is already bf16-quantized in
+        # that mode — final-flow drift measured < 0.015 px over 20 iters).
+        cdt = c_refs[l].dtype
+        c = c_refs[l][0]                             # (Hc, Wc, NL)
 
         # ---- integer row window c[y0-r .. y0+r+1] via a per-lane variable
         # rotate: O(log Hc) conditional shifts along the (unrolled) row dim
         # instead of (n+1) masked reductions over all Hc rows. Fully
         # out-of-range centroids are clamped to a window of zero padding.
         pad = n + 1 + r
-        zero = jnp.zeros((Wc, NL), jnp.float32)
+        zero = jnp.zeros((Wc, NL), cdt)
         ext = [zero] * pad + [c[h] for h in range(Hc)] + [zero] * (n + 2)
         y0c = jnp.clip(y0, -(n + 1.0), Hc + r + 1.0)
         a = y0c + jnp.float32(pad - r)              # in [0, amax]
@@ -102,18 +110,24 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius):
                              ext[h])
                    for h in range(outlen)]
         rows = ext[: n + 1]                          # rows y0-r .. y0+r+1
-        # lerp rows -> n row-samples
-        row_s = [rows[j] * (1.0 - fy) + rows[j + 1] * fy for j in range(n)]
+        # lerp rows -> n row-samples (native dtype; fy cast once)
+        fy_c = fy.astype(cdt)
+        one = jnp.ones((), cdt)
+        row_s = [(rows[j] * (one - fy_c) + rows[j + 1] * fy_c)
+                 for j in range(n)]
         # ---- integer column window: masked sublane reduce (the w dim lives
-        # on sublanes — no cheap per-lane sublane rotate), then lerp
+        # on sublanes — no cheap per-lane sublane rotate), then lerp.
+        # wsel is ONE-HOT, so the "sum" selects a single element per lane —
+        # exact in any dtype.
         iwf = jax.lax.broadcasted_iota(jnp.int32, (Wc, NL),
                                        0).astype(jnp.float32)
         prev = None
         vals = []   # channel order: i*n + j (x-major, as corr_lookup_mxu)
         for ii in range(n + 1):
-            wsel = (iwf == (x0 + (ii - r))).astype(jnp.float32)
-            cols = [jnp.sum(row_s[j] * wsel, axis=0, keepdims=True)
-                    for j in range(n)]              # each (1, NL)
+            wsel = (iwf == (x0 + (ii - r))).astype(cdt)
+            cols = [jnp.sum(row_s[j] * wsel, axis=0,
+                            keepdims=True).astype(jnp.float32)
+                    for j in range(n)]              # each (1, NL) f32
             if prev is not None:
                 for j in range(n):
                     vals.append(prev[j] * (1.0 - fx) + cols[j] * fx)

@@ -1,7 +1,7 @@
-"""Sweep the pallas corr-lookup lane-block size at the bench RAFT shape.
+"""Time corr_lookup_fused with bf16 vs f32 volumes (in-kernel native dtype).
 
 Run from the repo root with nothing else using the TPU:
-  python tools/corr_block_sweep.py
+  python tools/corr_bf16_ab.py
 """
 
 import os
@@ -29,29 +29,29 @@ def main():
     f1 = jax.random.normal(key, (B, H, W, D), jnp.float32)
     f2 = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, D), jnp.float32)
     # jit: EAGER big-tensor ops stall for many minutes on the axon tunnel
-    pyr = jax.jit(lambda a, b: [c.astype(jnp.bfloat16)
-                                for c in corr_pyramid_t(a, b)])(f1, f2)
+    pyr32 = jax.jit(corr_pyramid_t)(f1, f2)
+    pyr16 = jax.jit(lambda p: [c.astype(jnp.bfloat16) for c in p])(pyr32)
     coords = jax.random.uniform(key, (B, H, W, 2), jnp.float32) * 50 - 5
-    fence(pyr)
+    fence(pyr32)
 
-    ref = None
-    for block in (256, 512, 1024, 2048):
-        f = jax.jit(lambda c: corr_lookup_fused(pyr, c, block=block))
-        out = f(coords)
+    outs = {}
+    for name, pyr in (("f32", pyr32), ("bf16", pyr16)):
+        # pyramid as jit ARGUMENT: a closure capture bakes it in as a
+        # 2.18 GB constant and the compile runs for >25 min
+        f = jax.jit(lambda p, c: corr_lookup_fused(p, c))
+        out = f(pyr, coords)
         fence(out)
         n = 8
         t0 = time.perf_counter()
         for _ in range(n):
-            out = f(coords)
+            out = f(pyr, coords)
         fence(out)
-        dt = (time.perf_counter() - t0) / n * 1e3
-        if ref is None:
-            ref = np.asarray(out)
-            delta = 0.0
-        else:
-            delta = float(np.abs(np.asarray(out) - ref).max())
-        print(f"block={block:5d}: {dt:7.2f} ms  (max|d|={delta:.2e})",
+        print(f"{name}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms",
               flush=True)
+        outs[name] = np.asarray(out[:2])     # small slice only (slow D2H)
+    d = np.abs(outs["f32"] - outs["bf16"]).max()
+    print(f"max |f32 - bf16| on slice: {d:.4f} "
+          f"(scale: corr std {outs['f32'].std():.3f})")
 
 
 if __name__ == "__main__":
