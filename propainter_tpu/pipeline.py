@@ -630,6 +630,19 @@ class ProPainterPipeline:
         """
         import time
 
+        if min(frames_np.shape[1], frames_np.shape[2]) < 128:
+            import warnings
+            # below 128 px the coarsest RAFT corr-pyramid level degenerates
+            # under 2x2 and align-corners interpolation divides by zero; the
+            # torch reference produces NaN at these sizes too (see
+            # tests/test_pipeline_parity.py). NaN casts to uint8 zero, so
+            # the symptom is an all-black output.
+            warnings.warn(
+                "input resolution below 128 px is outside RAFT's valid "
+                "domain (degenerate correlation pyramid -> NaN flow, same "
+                "as the reference); resize inputs to >= 128 px",
+                RuntimeWarning)
+
         # upload uint8/bool and normalize ON DEVICE: 4x less host->device
         # traffic than pre-normalized float32 (PCIe on production hardware,
         # a ~55 MB/s tunnel on the dev harness)
