@@ -19,6 +19,7 @@ revise when a measured A100 number is available.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -28,6 +29,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_FPS = 10.0
 T, H, W = 80, 240, 432
+
+# Transient axon-backend init failures (another client holding the chip, a
+# tunnel hiccup) killed round 2's bench artifact. Each attempt runs in a
+# FRESH subprocess — jax caches a failed backend init for the life of the
+# process, so in-process retry cannot recover.
+RETRY_ATTEMPTS = 5
+RETRY_BACKOFF_S = 60.0
 
 
 def build_pipeline(precision: str):
@@ -138,5 +146,35 @@ def main():
     }))
 
 
+def supervise():
+    """Run main() in fresh subprocesses with retry/backoff; forward the
+    inner run's JSON line (and only it) to stdout for the driver."""
+    import subprocess
+
+    last_tail = ""
+    for attempt in range(1, RETRY_ATTEMPTS + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        json_line = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                json_line = line
+        if proc.returncode == 0 and json_line is not None:
+            print(json_line)
+            return 0
+        last_tail = proc.stdout[-2000:]
+        print(f"bench attempt {attempt}/{RETRY_ATTEMPTS} failed "
+              f"(rc={proc.returncode}); tail:\n{last_tail}", file=sys.stderr)
+        if attempt < RETRY_ATTEMPTS:
+            time.sleep(RETRY_BACKOFF_S)
+    print(f"bench failed after {RETRY_ATTEMPTS} attempts", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())

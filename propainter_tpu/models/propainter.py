@@ -288,6 +288,37 @@ def _window_partition(x, window, n_head):
     return x.reshape(B, nh * nw, n_head, T, wh * ww, ch)
 
 
+def masked_window_bitmap(masks_in_local, window_size=(5, 9)):
+    """Which attention windows contain any hole token: (B, nW) bool.
+
+    EXACTLY the occupancy SparseWindowAttention derives internally — the
+    same nearest-resize to the encoder grid (two stride-2 convs: ceil/2
+    twice), the same soft-split max-pool (KERNEL/STRIDE/PADDING), the same
+    window partition — so `bitmap[b, w] == (occ[b, w] > 0)` bit-for-bit.
+    The pipeline runs this once per window group and feeds the resulting
+    index buckets back as `masked_windows`, shrinking branch-A attention to
+    the windows that actually need it (reference sparse_transformer.py's
+    data-dependent mask_tokens gather, :229-266, in static-shape form).
+
+    masks_in_local: (B, l_t, H, W, 1) 0/1 dilated masks at image resolution.
+    """
+    B, l_t, H, W, _ = masks_in_local.shape
+    # encoder grid: two stride-2 k3 p1 convs, each out = ceil(in/2)
+    ceil2 = lambda n: -(-n // 2)
+    h, w = ceil2(ceil2(H)), ceil2(ceil2(W))
+    ds = resize(masks_in_local.reshape(-1, H, W, 1), (h, w), "nearest")
+    mp = max_pool2d(ds, KERNEL, STRIDE, PADDING)   # (B*l_t, ht, wt, 1)
+    ht, wt = mp.shape[1:3]
+    wh, ww = window_size
+    nwh, nww = -(-ht // wh), -(-wt // ww)
+    pad_b, pad_r = nwh * wh - ht, nww * ww - wt
+    if pad_b or pad_r:
+        mp = jnp.pad(mp, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    occ = max_pool2d(mp, window_size, window_size, (0, 0))
+    occ = occ.reshape(B, l_t, nwh * nww)
+    return jnp.max(occ, axis=1) > 0
+
+
 class SparseWindowAttention(nn.Module):
     """Mask-guided sparse window attention, static-shape formulation.
     Reference sparse_transformer.py:117-281.
@@ -307,7 +338,7 @@ class SparseWindowAttention(nn.Module):
     attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, mask, frame_select):
+    def __call__(self, x, mask, frame_select, masked_windows=None):
         """
         Args:
           x:    (B, T, H, W, C) tokens.
@@ -318,6 +349,17 @@ class SparseWindowAttention(nn.Module):
             where the static part (the reference's T_ind temporal dilation)
             is GATHERED (fewer keys, like sparse_transformer.py:241-248) and
             the dynamic part (padded refs) is masked.
+          masked_windows: optional (idx (B, m_b) int32, valid (B, m_b) bool)
+            — a host/device-precomputed superset bucket of the occ>0
+            windows (masked_window_bitmap). Branch A (the expensive
+            cross-frame attention, ~85% of block FLOPs dense) then runs on
+            ONLY those m_b windows and is scattered over the branch-B
+            output: FLOPs scale with the mask instead of the frame, and the
+            result is bit-identical to the dense dual-branch (same math per
+            window, clean windows take branch B either way). The reference
+            gets the same effect with data-dependent shapes
+            (sparse_transformer.py:229-266); bucketing keeps shapes static
+            for XLA. None = dense dual-branch (training, full-frame masks).
         """
         B, T, H, W, C = x.shape
         if isinstance(frame_select, tuple):
@@ -440,24 +482,48 @@ class SparseWindowAttention(nn.Module):
             sel_idx = np.nonzero(static_sel)[0]
             Ts = len(sel_idx)
 
+            if masked_windows is not None:
+                mw_idx, mw_valid = masked_windows
+                nWa = mw_idx.shape[1]  # branch-A window count (bucket)
+            else:
+                mw_idx = None
+                nWa = nW
+
             def pool_windows(p, t_sel):
                 p = p.reshape(B, T, p_h * p_w, n_head, ch)[:, t_sel]
                 p = p.transpose(0, 3, 1, 2, 4)  # (B, head, Ts, P, ch)
                 return jnp.broadcast_to(
-                    p[:, None], (B, nW, n_head, len(t_sel), p_h * p_w, ch))
+                    p[:, None], (B, nWa, n_head, len(t_sel), p_h * p_w, ch))
+
+            if mw_idx is None:
+                win_q_a = win_q
+                gather_a = lambda t: gather_windows(t, idx_all)
+            else:
+                # branch-A inputs for ONLY the bucketed windows: dynamic
+                # row gather from the flat token grid (a few k rows — cheap)
+                rows = jnp.asarray(idx_all)[mw_idx]     # (B, nWa, n_idx)
+                win_q_a = jax.vmap(lambda a, i: a[i])(win_q, mw_idx)
+
+                def gather_a(t):
+                    tf = t.reshape(B, -1, new_h * new_w, C)
+                    g = jax.vmap(lambda tb, rb: tb[:, rb.reshape(-1)])(
+                        tf, rows)
+                    g = g.reshape(B, tf.shape[1], nWa, idx_all.shape[1],
+                                  n_head, ch)
+                    return g.transpose(0, 2, 4, 1, 3, 5)
 
             win_k_all = jnp.concatenate(
-                [gather_windows(k[:, sel_idx], idx_all),
+                [gather_a(k[:, sel_idx]),
                  pool_windows(pool_k, sel_idx)], axis=4)
             win_v_all = jnp.concatenate(
-                [gather_windows(v[:, sel_idx], idx_all),
+                [gather_a(v[:, sel_idx]),
                  pool_windows(pool_v, sel_idx)], axis=4)
             k_tok = win_k_all.shape[4]
 
             # branch A: masked windows attend across all (selected) frames
-            qa = win_q.reshape(B, nW, n_head, T * win_tokens, ch)
-            ka = win_k_all.reshape(B, nW, n_head, Ts * k_tok, ch)
-            va = win_v_all.reshape(B, nW, n_head, Ts * k_tok, ch)
+            qa = win_q_a.reshape(B, nWa, n_head, T * win_tokens, ch)
+            ka = win_k_all.reshape(B, nWa, n_head, Ts * k_tok, ch)
+            va = win_v_all.reshape(B, nWa, n_head, Ts * k_tok, ch)
             key_mask = None
             if dyn_valid is not None:
                 dv = (dyn_valid if dyn_valid.ndim == 2
@@ -480,11 +546,11 @@ class SparseWindowAttention(nn.Module):
 
                 bias = (None if key_mask is None else
                         jnp.where(key_mask, 0.0, -1e9).astype(jnp.float32))
-                qg = qa.reshape(B, nW * n_head, T * win_tokens, ch)
-                kg = ka.reshape(B, nW * n_head, Ts * k_tok, ch)
-                vg = va.reshape(B, nW * n_head, Ts * k_tok, ch)
+                qg = qa.reshape(B, nWa * n_head, T * win_tokens, ch)
+                kg = ka.reshape(B, nWa * n_head, Ts * k_tok, ch)
+                vg = va.reshape(B, nWa * n_head, Ts * k_tok, ch)
                 out_a = flash_window_attention(qg, kg, vg, bias, scale)
-                out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
+                out_a = out_a.reshape(B, nWa, n_head, T, win_tokens, ch)
             else:
                 att_a = jnp.einsum(
                     "bwhqc,bwhkc->bwhqk", qa, ka,
@@ -496,7 +562,7 @@ class SparseWindowAttention(nn.Module):
                 out_a = jnp.einsum(
                     "bwhqk,bwhkc->bwhqc", att_a, va,
                     preferred_element_type=jnp.float32).astype(x.dtype)
-                out_a = out_a.reshape(B, nW, n_head, T, win_tokens, ch)
+                out_a = out_a.reshape(B, nWa, n_head, T, win_tokens, ch)
 
             # branch B: clean windows attend within-window, same-frame
             att_b = jnp.einsum(
@@ -507,8 +573,18 @@ class SparseWindowAttention(nn.Module):
                 "bwhtqk,bwhtkc->bwhtqc", att_b, win_v,
                 preferred_element_type=jnp.float32).astype(x.dtype)
 
-            use_full = (occ > 0)[:, :, None, None, None, None]
-            out = jnp.where(use_full, out_a, out_b)
+            if mw_idx is None:
+                use_full = (occ > 0)[:, :, None, None, None, None]
+                out = jnp.where(use_full, out_a, out_b)
+            else:
+                # scatter the bucketed branch-A windows over the branch-B
+                # grid; invalid (pad) slots re-write the current value, so
+                # duplicates and empty buckets are harmless
+                cur = jax.vmap(lambda a, i: a[i])(out_b, mw_idx)
+                sel = mw_valid[:, :, None, None, None, None]
+                newv = jnp.where(sel, out_a, cur)
+                bidx = jnp.arange(B)[:, None]
+                out = out_b.at[bidx, mw_idx].set(newv)
 
         # inverse window partition
         out = out.reshape(B, nwh, nww, n_head, T, wh, ww, ch)
@@ -529,13 +605,15 @@ class TemporalSparseTransformer(nn.Module):
     attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, fold_x_size, mask, frame_select):
+    def __call__(self, x, fold_x_size, mask, frame_select,
+                 masked_windows=None):
         B, T, H, W, C = x.shape
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         att = SparseWindowAttention(
             self.dim, self.n_head, self.window_size, self.pool_size,
-            self.attention_impl, name="attention")(x, mask, frame_select)
+            self.attention_impl, name="attention")(x, mask, frame_select,
+                                                   masked_windows)
         x = shortcut + att
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         mlp = FusionFeedForward(self.dim, name="mlp")(
@@ -556,7 +634,7 @@ class TemporalSparseTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2,
-                 frame_valid=None):
+                 frame_valid=None, masked_windows=None):
         assert self.depths % t_dilation == 0
         T = x.shape[1]
         for i in range(self.depths):
@@ -568,7 +646,8 @@ class TemporalSparseTransformerBlock(nn.Module):
             x = TemporalSparseTransformer(
                 self.dim, self.n_head, self.window_size, self.pool_size,
                 self.attention_impl, name=f"transformer_{i}")(
-                    x, fold_x_size, l_mask, (static_sel, frame_valid))
+                    x, fold_x_size, l_mask, (static_sel, frame_valid),
+                    masked_windows)
         return x
 
 
@@ -796,7 +875,8 @@ class InpaintGenerator(nn.Module):
     def __call__(self, masked_frames, completed_flows, masks_in,
                  masks_updated, num_local_frames: int, train: bool = False,
                  t_dilation: int = 2, frame_valid=None,
-                 precomputed_enc_feat=None, precomputed_ref_feat=None):
+                 precomputed_enc_feat=None, precomputed_ref_feat=None,
+                 masked_windows=None):
         """
         Args:
           masked_frames: (B, T, H, W, 3) in [-1, 1] (holes already updated by
@@ -895,7 +975,7 @@ class InpaintGenerator(nn.Module):
             self.hidden, self.num_heads, self.window_size, self.pool_size,
             self.depths, attn_impl, name="transformers")(
                 trans_feat, fold_feat_size, mask_pool_l, t_dilation,
-                frame_valid)
+                frame_valid, masked_windows)
         trans_feat = SoftComp(self.channel, name="sc")(
             trans_feat, T, fold_feat_size)
         trans_feat = trans_feat.reshape(B, T, h, w, c)

@@ -68,6 +68,8 @@ def equal_chunk_schedule(length: int, n_chunks: int, pad: int
     sit at the midpoints of consecutive chunks' overlaps: each boundary is
     >= overlap/2 >= pad frames from both chunks' borders.
     """
+    if n_chunks < 2:
+        return None  # nothing to split (and `starts` would divide by 0)
     step = -(-length // n_chunks)
     L = min(length, step + 2 * pad)
     if L >= length:
@@ -130,6 +132,14 @@ class PipelineConfig:
     # stage-4 window batches) over all visible devices — the multi-chip
     # inference layout (SURVEY.md section 7.7: batch-of-windows sharding).
     shard_inference: bool = False
+    # stage-4 branch-A occupancy bucketing: compute the per-window
+    # masked-window bitmap (models.propainter.masked_window_bitmap) once per
+    # window group and run the expensive cross-frame attention on only a
+    # power-of-2 bucket of the windows that contain hole tokens. Bit-exact
+    # vs the dense dual-branch; FLOPs scale with the mask instead of the
+    # frame (the reference's data-dependent mask_tokens gather in
+    # static-shape form). Costs one tiny readback per window group.
+    occupancy_bucketing: bool = True
     # sparse window attention implementation.
     # 'flash' (default): dense dual-branch, with branch A's softmax fused in
     #   a pallas kernel whose K/V fit in VMEM whole — the (Tq, Tk) logits
@@ -147,14 +157,18 @@ class ProPainterPipeline:
     """Holds the three model param trees and the jitted stage functions."""
 
     def __init__(self, raft_params, flowcomp_params, inpaint_params,
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None, *,
+                 raft=None, flowcomp=None, inpaint=None):
+        """Optional `raft`/`flowcomp`/`inpaint` module overrides let callers
+        run the same orchestration with non-default model configs (reduced
+        sizes for dry runs and tests, research variants)."""
         self.config = config or PipelineConfig()
         impl = self.config.attention_impl
-        self.raft = RAFT(
+        self.raft = raft or RAFT(
             corr_volume_dtype=("bfloat16" if self.config.precision == "bf16"
                                else "float32"))
-        self.flowcomp = RecurrentFlowCompleteNet()
-        self.inpaint = InpaintGenerator(attention_impl=impl)
+        self.flowcomp = flowcomp or RecurrentFlowCompleteNet()
+        self.inpaint = inpaint or InpaintGenerator(attention_impl=impl)
         self.raft_params = raft_params
         self.flowcomp_params = flowcomp_params
         self.inpaint_params = inpaint_params
@@ -195,6 +209,7 @@ class ProPainterPipeline:
             self._generate_group_fn, static_argnames=("l_t",),
             donate_argnums=(1, 2))
         self._encode_all = jax.jit(self._encode_all_fn)
+        self._window_occ = jax.jit(self._window_occ_fn)
 
     # ---- stage fns -------------------------------------------------------
 
@@ -293,10 +308,18 @@ class ProPainterPipeline:
                                enc_in.reshape(B * T, H, W, 5))
         return feat.reshape((B, T) + feat.shape[1:])
 
+    def _window_occ_fn(self, masks_dilated, nb):
+        """Per-window masked-window bitmaps for stage-4 branch-A bucketing.
+        masks_dilated (B, T, H, W, 1); nb (n_windows, l_t) neighbor ids.
+        Returns (n_windows, nW) bool."""
+        from propainter_tpu.models.propainter import masked_window_bitmap
+
+        return masked_window_bitmap(masks_dilated[0][nb])
+
     def _generate_group_fn(self, inpaint_params, comp, visited,
                            updated_frames, flows_f, flows_b, masks_dilated,
-                           updated_masks, ori, nb, rp, fv, w, ref_feat_all,
-                           l_t: int):
+                           updated_masks, ori, nb, rp, fv, w, mi, mv,
+                           ref_feat_all, l_t: int):
         """All same-shape sliding windows of one group in ONE executable:
         lax.scan over window batches; each step runs the generator on a
         (wb, l_t+ref_pad, ...) batch and applies the reference's SEQUENTIAL
@@ -323,9 +346,14 @@ class ProPainterPipeline:
         fb = flows_b[0].astype(dt)
         masks_bin = masks_dilated[0]  # (T, H, W, 1) 0/1 f32
 
+        use_mw = mi is not None
+
         def step(carry, xs):
             comp, visited = carry
-            nb_i, rp_i, fv_i, w_i = xs
+            if use_mw:
+                nb_i, rp_i, fv_i, w_i, mi_i, mv_i = xs
+            else:
+                nb_i, rp_i, fv_i, w_i = xs
             sel_imgs = uf[nb_i]
             sel_masks = md[nb_i]
             sel_upd = um[nb_i]
@@ -342,7 +370,8 @@ class ProPainterPipeline:
             pred = self.inpaint.apply(
                 {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
                 sel_masks, sel_upd, l_t,
-                frame_valid=fv_i, precomputed_ref_feat=ref_feat)
+                frame_valid=fv_i, precomputed_ref_feat=ref_feat,
+                masked_windows=((mi_i, mv_i) if use_mw else None))
             # (pred+1)/2*255 in the reference's operation order, then the
             # uint8 truncation (floor: values are non-negative)
             img8 = jnp.floor((pred.astype(jnp.float32) + 1.0) / 2.0 * 255.0)
@@ -365,8 +394,8 @@ class ProPainterPipeline:
                 0, nb_i.shape[0], upd, (comp, visited))
             return (comp, visited), None
 
-        (comp, visited), _ = jax.lax.scan(
-            step, (comp, visited), (nb, rp, fv, w))
+        xs = (nb, rp, fv, w) + ((mi, mv) if use_mw else ())
+        (comp, visited), _ = jax.lax.scan(step, (comp, visited), xs)
         return comp, visited
 
     # ---- multi-chip chunk sharding (stages 2+3) --------------------------
@@ -390,10 +419,15 @@ class ProPainterPipeline:
         caller falls back to the single-device path)."""
         n_dev = self._batch_sharding.mesh.size
         sub = self.config.subvideo_length
-        # at least one chunk per device; more (in device multiples) when
-        # subvideo_length caps the chunk length
-        n_chunks = max(n_dev, -(-length // sub))
-        n_chunks = -(-n_chunks // n_dev) * n_dev
+        # quality guard: every chunk must keep >= subvideo_length temporal
+        # context — the recurrent completion/propagation nets degrade on
+        # shorter clips, and the reference's sequential schedule never runs
+        # them below sub frames either (inference_propainter.py:341-404).
+        # Shard only when the video supports n_dev such chunks (in device
+        # multiples); shorter videos fall back to the single-device path.
+        n_chunks = (length // sub) // n_dev * n_dev
+        if n_chunks < 2:
+            return None
         sched = equal_chunk_schedule(length, n_chunks, pad)
         if sched is None:
             return None
@@ -588,28 +622,73 @@ class ProPainterPipeline:
             else:
                 runs.append((len(wdw[0]), [wdw]))
 
+        # occupancy bucketing: branch-A attention runs on only the windows
+        # that contain hole tokens (a power-of-2 bucket keeps shapes static;
+        # executables key on (l_t, bucket)). ONE tiny device round-trip for
+        # all groups: neighbor lists pad to the longest l_t by repeating a
+        # frame — repetition cannot change the union occupancy.
+        bitmaps = None
+        if self.config.occupancy_bucketing:
+            l_t_max = max(len(w_[0]) for w_ in windows)
+            nb_all = np.array(
+                [w_[0] + [w_[0][-1]] * (l_t_max - len(w_[0]))
+                 for w_ in windows], np.int32)
+            bitmaps = np.asarray(
+                self._window_occ(masks_dilated, jnp.asarray(nb_all)))
+
         wb = self._window_batch
+        grp_row = 0  # runs partition `windows` in order
         for l_t, grp in runs:
-            batches = []  # (nb (wb,l_t), rp, fv, w)
+            mw = None
+            if bitmaps is not None:
+                bm = bitmaps[grp_row : grp_row + len(grp)]
+                grp_row += len(grp)
+                nW = bm.shape[1]
+                m_max = int(bm.sum(axis=1).max(initial=0))
+                m_b = 1
+                while m_b < m_max:
+                    m_b *= 2
+                if m_b < nW:
+                    idxs = np.zeros((len(grp), m_b), np.int32)
+                    valids = np.zeros((len(grp), m_b), np.bool_)
+                    for gi, row in enumerate(bm):
+                        nz = np.nonzero(row)[0]
+                        if len(nz):
+                            # pad by cycling REAL masked indices: duplicate
+                            # scatter slots write identical values
+                            idxs[gi] = np.resize(nz, m_b)
+                            valids[gi] = True
+                    mw = (idxs, valids)
+
+            batches = []  # (nb (wb,l_t), rp, fv, w[, mi, mv])
             for start in range(0, len(grp), wb):
-                batch = grp[start : start + wb]
-                n_real = len(batch)
+                ids = list(range(start, min(start + wb, len(grp))))
+                n_real = len(ids)
                 if n_real < wb:
                     # pad the tail batch by repeating windows with weight 0
                     # (skipped in the compositing update)
-                    batch = (batch * wb)[:wb]
+                    ids = (ids * wb)[:wb]
+                batch = [grp[i] for i in ids]
                 nb = np.array([w_[0] for w_ in batch], np.int32)
                 rp = np.array([w_[1] for w_ in batch], np.int32)
                 fv = np.array([w_[2] for w_ in batch])
                 w = np.zeros(len(batch), np.float32)
                 w[:n_real] = 1.0
-                batches.append((nb, rp, fv, w))
-            stack = lambda i: jnp.asarray(np.stack([b[i] for b in batches]))
+                entry = (nb, rp, fv, w)
+                if mw is not None:
+                    entry += (mw[0][ids], mw[1][ids])
+                batches.append(entry)
+            n_xs = len(batches[0])
+            stacks = tuple(
+                jnp.asarray(np.stack([b[i] for b in batches]))
+                for i in range(n_xs))
+            mi, mv = (stacks[4], stacks[5]) if mw is not None else (None,
+                                                                    None)
             comp, visited = self._generate_group(
                 self._inpaint_params_c, comp, visited,
                 updated_frames, flows_f, flows_b, masks_dilated,
-                updated_masks, ori, stack(0), stack(1), stack(2), stack(3),
-                ref_feat_all, l_t)
+                updated_masks, ori, stacks[0], stacks[1], stacks[2],
+                stacks[3], mi, mv, ref_feat_all, l_t)
 
         return comp.astype(jnp.uint8)
 
@@ -630,18 +709,28 @@ class ProPainterPipeline:
         """
         import time
 
-        if min(frames_np.shape[1], frames_np.shape[2]) < 128:
-            import warnings
-            # below 128 px the coarsest RAFT corr-pyramid level degenerates
-            # under 2x2 and align-corners interpolation divides by zero; the
-            # torch reference produces NaN at these sizes too (see
-            # tests/test_pipeline_parity.py). NaN casts to uint8 zero, so
-            # the symptom is an all-black output.
-            warnings.warn(
-                "input resolution below 128 px is outside RAFT's valid "
-                "domain (degenerate correlation pyramid -> NaN flow, same "
-                "as the reference); resize inputs to >= 128 px",
-                RuntimeWarning)
+        # Below 128 px the coarsest RAFT corr-pyramid level degenerates
+        # under 2x2 and align-corners interpolation divides by zero: the
+        # torch reference silently emits NaN -> all-black frames at these
+        # sizes. Instead of reproducing that failure, auto-pad into RAFT's
+        # valid domain (the reference ships the same remedy as an unused
+        # InputPadder, RAFT/utils/utils.py:7-24): frames replicate-pad on
+        # the bottom/right (flow near the real borders is unaffected on the
+        # top/left), masks zero-pad (the padding is valid content, never
+        # hole), and the output is cropped back to the caller's size.
+        T0, H0, W0 = frames_np.shape[:3]
+        pad_h = max(0, 128 - H0)
+        pad_w = max(0, 128 - W0)
+        if pad_h or pad_w:
+            frames_np = np.pad(
+                frames_np, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                mode="edge")
+            flow_masks_np = np.pad(
+                np.asarray(flow_masks_np),
+                ((0, 0), (0, pad_h), (0, pad_w)), mode="constant")
+            masks_dilated_np = np.pad(
+                np.asarray(masks_dilated_np),
+                ((0, 0), (0, pad_h), (0, pad_w)), mode="constant")
 
         # upload uint8/bool and normalize ON DEVICE: 4x less host->device
         # traffic than pre-normalized float32 (PCIe on production hardware,
@@ -683,4 +772,6 @@ class ProPainterPipeline:
         if timings is not None:
             timings["readback"] = (timings.get("readback", 0.0)
                                    + time.perf_counter() - t0)
+        if pad_h or pad_w:
+            out_np = out_np[:, :H0, :W0]
         return [out_np[i] for i in range(out_np.shape[0])]

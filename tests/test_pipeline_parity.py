@@ -11,11 +11,12 @@ uint8 compositing. The reference's staged loop lives in an unimportable
 and runs it with the same randomly-initialized weights our pipeline gets via
 the mechanical converter.
 
-Tolerance: the reference composites each window in uint8 (truncating cast,
-inference_propainter.py:441-449) and averages double-visited frames
-sequentially in uint8; we accumulate in fp32 and average at finalize —
-identical up to 2 uint8 LSB for <=2 visits, plus <1 LSB of fp drift through
-4 stages.
+Tolerance: generate() reproduces the reference's sequential compositing
+exactly (comp = comp/2 + img/2, uint8-truncated per visit,
+inference_propainter.py:441-449), so the compositing scheme itself
+contributes zero error; the <=2 uint8 LSB allowance covers only fp drift
+accumulated through the 4 stages (conv-order and fusion differences between
+XLA and torch), which crosses a truncation boundary on a few pixels.
 """
 
 import argparse

@@ -108,6 +108,9 @@ def test_equal_chunk_schedule_invariants():
 
     # too short to split -> None (caller falls back)
     assert equal_chunk_schedule(7, 8, 5) is None
+    # n_chunks < 2 -> None, not ZeroDivisionError
+    assert equal_chunk_schedule(80, 1, 5) is None
+    assert equal_chunk_schedule(80, 0, 5) is None
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
@@ -117,9 +120,12 @@ def test_sharded_chunk_stages_match_sequential(rng):
     program is the same math in a different layout."""
     from propainter_tpu.pipeline import equal_chunk_schedule
 
+    # sub=4 so the quality guard (each chunk >= subvideo_length of context,
+    # in device multiples) admits 8 chunks: (39//4)//8*8 = 8
     T, H, W = 40, 64, 96
+    sub = 4
     raft, fc, gen = _params(H, W)
-    cfg = PipelineConfig(subvideo_length=10, raft_iter=1,
+    cfg = PipelineConfig(subvideo_length=sub, raft_iter=1,
                          shard_inference=True)
     pipe = ProPainterPipeline(raft, fc, gen, cfg)
     assert pipe._batch_sharding is not None
@@ -134,7 +140,7 @@ def test_sharded_chunk_stages_match_sequential(rng):
     # ---- stage 2 ----
     pf_sh, pb_sh = pipe.complete_flows((ff, fb), masks)
     n_dev = pipe._batch_sharding.mesh.size
-    n_chunks = -(-max(n_dev, -(-(T - 1) // 10)) // n_dev) * n_dev
+    n_chunks = ((T - 1) // sub) // n_dev * n_dev
     sched = equal_chunk_schedule(T - 1, n_chunks, 5)
     assert sched is not None, "test must exercise the sharded path"
     pf_seq, pb_seq = [], []
