@@ -158,7 +158,13 @@ class CutieCore:
                 [self.mem_shrinkage, sf], -1)
             self.mem_value = jnp.concatenate([self.mem_value, vf], -1)
             # FIFO trim of non-permanent tokens
-            # (kv_memory_store.remove_old_memory)
+            # (kv_memory_store.remove_old_memory). The non-permanent cap is
+            # (cfg.max_mem_frames - 1) * hw, matching the reference exactly:
+            # memory_manager.py:38 sets self.max_mem_frames =
+            # cfg.max_mem_frames - 1 (the permanent first frame no longer
+            # counts), then :230 max_work_tokens = self.max_mem_frames * HW.
+            # Parity-checked past the first trim (28-frame
+            # test_inference_core_step_parity).
             hw = key.shape[1] * key.shape[2]
             max_work = (self.cfg.max_mem_frames - 1) * hw
             excess = (self.mem_key.shape[-1] - self.perm_tokens) - max_work

@@ -9,9 +9,15 @@ TPU-first design notes:
   * the image embedding (the expensive ViT pass) is computed once per image
     and stays on device; every click re-runs only the tiny prompt+decoder
     executable (ms-scale);
-  * prompts are padded to a fixed-size bucket using SAM's own "not a point"
-    embedding (label -1) — SAM's native padding mechanism — so the decoder
-    executable is compiled once for any click count up to the bucket;
+  * prompts are padded with SAM's own "not a point" embedding (label -1,
+    SAM's native padding mechanism). Default: exactly ONE pad point, the
+    reference SamPredictor's scheme (predictor.py `padding_point` when no
+    box is given) — bit-matching prompts, one small decoder compile per
+    distinct click count (jit caches by shape). Opt-in `points_bucket=k`
+    pads every prompt to k tokens so a single executable serves all click
+    counts; the extra pad tokens participate in decoder attention and
+    perturb masks slightly (bounded by test_sam_parity.py's
+    bucket-vs-exact test);
   * mask upsampling (256 -> 1024 -> original size) runs on device with
     torch-interpolate-semantics `ops.interp.resize`.
 """
@@ -39,7 +45,8 @@ class SamSegmenter:
     """
 
     def __init__(self, params: dict, model_type: str = "vit_h",
-                 points_bucket: int = 8, config: Optional[SamConfig] = None):
+                 points_bucket: Optional[int] = None,
+                 config: Optional[SamConfig] = None):
         self.config = config or sam_config_registry[model_type]()
         self.model = Sam(self.config)
         self.params = params
@@ -104,10 +111,15 @@ class SamSegmenter:
     # -- prompting ----------------------------------------------------------
 
     def _pack_points(self, coords, labels):
-        """Scale click coords into model space and pad to the bucket with
-        label -1 (SAM's not-a-point embedding)."""
+        """Scale click coords into model space and pad with label -1 (SAM's
+        not-a-point embedding): exactly one pad token by default (reference
+        SamPredictor semantics), or up to a fixed bucket when
+        `points_bucket` is set (single executable, slight mask drift)."""
         n = 0 if coords is None else len(coords)
-        bucket = max(self.points_bucket, n)
+        if self.points_bucket is None:
+            bucket = n + 1
+        else:
+            bucket = max(self.points_bucket, n + 1)
         c = np.zeros((1, bucket, 2), np.float32)
         l = np.full((1, bucket), -1, np.int32)
         if n:
@@ -168,9 +180,15 @@ class SamControler:
 
     def first_frame_click(self, image: np.ndarray, points: np.ndarray,
                           labels: np.ndarray, multimask: bool = True,
-                          box=None):
-        """Returns (mask (H, W) uint8, logit (H, W) float32, painted)."""
-        from propainter_tpu.demo.tracking import paint_mask
+                          box=None, mask_color: int = 3):
+        """Returns (mask (H, W) uint8, logit (H, W) float32, painted).
+
+        Matches the reference SamControler.first_frame_click
+        (interact_tools.py:46-90): the dense-prompt refine pass ('both')
+        runs only when the LAST click is positive, and the painted preview
+        overlays the mask plus positive/negative click dots with the
+        reference's palette indices."""
+        from propainter_tpu.demo.painters import mask_painter, point_painter
 
         seg = self.sam_controler
         if not seg.embedded:
@@ -185,14 +203,23 @@ class SamControler:
             labs = np.concatenate([labs, np.array([2, 3], np.int32)])
         prompts = {"point_coords": pts, "point_labels": labs}
         masks, scores, logits = seg.predict(prompts, "point", multimask)
-        # refine once with the best mask as a dense prompt (the reference
-        # demo's 'both' second pass, interact_tools.py:62-68)
         best = int(np.argmax(scores))
-        prompts["mask_input"] = logits[best][None]
-        masks, scores, logits = seg.predict(prompts, "both", multimask)
-        best = int(np.argmax(scores))
+        if labs[-1] == 1:
+            # refine with the best mask as a dense prompt
+            # (interact_tools.py:54-68)
+            prompts["mask_input"] = logits[best][None]
+            masks, scores, logits = seg.predict(prompts, "both", multimask)
+            best = int(np.argmax(scores))
         mask = masks[best].astype(np.uint8)
         logit_full = np.asarray(
             resize(jnp.asarray(logits[best][..., None]),
                    seg.original_size))[..., 0]
-        return mask, logit_full.astype(np.float32), paint_mask(image, mask)
+        # reference paint constants (interact_tools.py:18-27)
+        painted = mask_painter(image.copy(), mask, mask_color, 0.7, 2, 5)
+        pos = pts[labs == 1].astype(int)   # box corners (2/3) aren't dots
+        neg = pts[labs == 0].astype(int)
+        if len(pos):
+            painted = point_painter(painted, pos, 8, 0.9, 15, 2, 5)
+        if len(neg):
+            painted = point_painter(painted, neg, 50, 0.9, 15, 2, 5)
+        return mask, logit_full.astype(np.float32), painted

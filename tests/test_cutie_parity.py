@@ -225,10 +225,14 @@ def test_param_tree_matches(jax_params, model):
 
 
 def test_inference_core_step_parity(torch_cutie, jax_params, ref_cfg, rng):
-    """Full tracking-step parity: 8 frames through the reference
+    """Full tracking-step parity: 28 frames through the reference
     InferenceCore vs our CutieCore — covers the memory write (permanent
-    first frame), top-k reads, sensory stagger updates and the second
-    memory frame at mem_every=5."""
+    first frame), top-k reads, sensory stagger updates, memory frames at
+    mem_every=5 (t=5,10,15,20,25) AND the first working-memory FIFO trim:
+    after the t=25 write the non-permanent store holds 5 frames >
+    (max_mem_frames-1)=4, so both sides evict the t=5 frame
+    (memory_manager.py:38,230 + kv_memory_store.remove_old_memory) and
+    frames 26-27 read from the trimmed memory."""
     import_cutie_module("tracker.inference.inference_core")
     from tracker.inference.inference_core import InferenceCore
 
@@ -246,7 +250,7 @@ def test_inference_core_step_parity(torch_cutie, jax_params, ref_cfg, rng):
     small_cfg["top_k"] = 8
     ref_cfg = OmegaConf.create(small_cfg)
 
-    T = 8
+    T = 28
     frames = []
     for t in range(T):
         base = rng.uniform(0, 1, (H // 8, W // 8, 3)).astype(np.float32)
@@ -292,6 +296,14 @@ def test_inference_core_step_parity(torch_cutie, jax_params, ref_cfg, rng):
         np.testing.assert_allclose(
             prob_j, prob_t.numpy(), rtol=5e-3, atol=5e-3,
             err_msg=f"frame {t}")
+
+    # the trim actually fired: working memory holds the permanent first
+    # frame + exactly (max_mem_frames-1) non-permanent frames on BOTH sides
+    assert core_j.mem_key.shape[-1] == core_j.perm_tokens * 5, \
+        "expected perm + 4 non-perm memory frames after the FIFO trim"
+    ref_store = core_t.memory.work_mem
+    bucket = next(iter(ref_store.buckets))
+    assert ref_store.size(bucket) == core_j.mem_key.shape[-1]
 
 
 def test_cutie_tracker_facade(jax_params, rng):

@@ -114,3 +114,112 @@ def test_facade_selects_sam_segmenter(monkeypatch):
     facade.segmenter.sam_controler.config = TINY
     facade.segmenter.sam_controler.model = __import__(
         "propainter_tpu.models.sam", fromlist=["Sam"]).Sam(TINY)
+
+
+# ---------------------------------------------------------------------------
+# Painters (pixel parity vs the reference tools/painter.py + mask_painter.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_painter():
+    from tests.torch_ref import import_cutie_module
+
+    return import_cutie_module("tools.painter")
+
+
+@pytest.fixture(scope="module")
+def painter_inputs():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (72, 96, 3), np.uint8)
+    mask = np.zeros((72, 96), np.uint8)
+    mask[20:48, 30:70] = 1
+    mask[10:16, 10:20] = 1  # second component exercises the contour field
+    return img, mask
+
+
+def test_colormap_matches_reference(ref_painter):
+    from propainter_tpu.demo.painters import colormap
+
+    np.testing.assert_array_equal(colormap(), ref_painter.colormap())
+    np.testing.assert_array_equal(colormap(False), ref_painter.colormap(False))
+
+
+def test_mask_painter_pixel_parity(ref_painter, painter_inputs):
+    from propainter_tpu.demo.painters import mask_painter
+
+    img, mask = painter_inputs
+    ours = mask_painter(img.copy(), mask, mask_color=3, mask_alpha=0.7,
+                        contour_color=1, contour_width=5)
+    theirs = ref_painter.mask_painter(img.copy(), mask, 3, 0.7, 1, 5)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_point_painter_pixel_parity(ref_painter, painter_inputs):
+    from propainter_tpu.demo.painters import point_painter
+
+    img, _ = painter_inputs
+    pts = np.array([[40, 30], [70, 50]])
+    ours = point_painter(img.copy(), pts, 8, 0.9, 15, 2, 5)
+    theirs = ref_painter.point_painter(img.copy(), pts, 8, 0.9, 15, 2, 5)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_background_remover_matches_reference(ref_painter, painter_inputs):
+    from propainter_tpu.demo.painters import background_remover
+
+    img, mask = painter_inputs
+    ours = background_remover(img, mask)
+    theirs = np.asarray(ref_painter.background_remover(img, mask))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_mask_painter_blur_pixel_parity(painter_inputs):
+    from tests.torch_ref import import_cutie_module
+    from propainter_tpu.demo.painters import mask_painter_blur
+
+    ref_mp = import_cutie_module("tools.mask_painter")
+    img, mask = painter_inputs
+    for mode in ("00", "01", "10", "11"):
+        ours = mask_painter_blur(img.copy(), mask, 0.5, 7, 3, 3, 1, mode)
+        theirs = ref_mp.mask_painter(img.copy(), mask, 0.5, 7, 3, 3, 1, mode)
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Multi-mask session (reference app.py:166-230 semantics, gradio-free)
+# ---------------------------------------------------------------------------
+
+
+def test_multimask_session_add_show_template():
+    from propainter_tpu.demo.multimask import MultiMaskSession
+
+    H, W = 48, 64
+    m1 = np.zeros((H, W), np.uint8)
+    m1[10:20, 10:30] = 1
+    m2 = np.zeros((H, W), np.uint8)
+    m2[15:30, 25:45] = 1  # overlaps m1
+
+    s = MultiMaskSession()
+    assert s.add_mask(m1) == "mask_001"
+    assert s.add_mask(m2) == "mask_002"
+    assert s.mask_names == ["mask_001", "mask_002"]
+
+    # template: mask k -> label k+1; overlap clips to the later id
+    # (app.py:216-224)
+    t = s.template_mask(["mask_001", "mask_002"])
+    assert set(np.unique(t)) == {0, 1, 2}
+    assert (t[16, 26] == 2) and (t[11, 11] == 1)
+    # single selection
+    t1 = s.template_mask(["mask_002"])
+    assert set(np.unique(t1)) <= {0, 2}
+
+    frame = np.full((H, W, 3), 128, np.uint8)
+    painted = s.show(frame.copy(), ["mask_002", "mask_001"])  # sorts
+    assert painted.shape == frame.shape
+    assert (painted != frame).any()
+
+    s.remove_all()
+    assert s.masks == [] and s.mask_names == []
+    with pytest.raises(ValueError):
+        s.template_mask(["mask_001"])

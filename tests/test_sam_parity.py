@@ -162,6 +162,63 @@ def test_vit_b_checkpoint_schema():
     assert_tree_shapes_match(params, ref)
 
 
+def test_segmenter_exact_padding_matches_torch_predictor():
+    """Default segmenter padding = the reference SamPredictor's exact scheme
+    (n real clicks + ONE not-a-point token): decoder outputs must match the
+    torch mirror fed the identically-padded prompt. Also bounds the drift of
+    the opt-in fixed-bucket mode, whose extra pad tokens perturb decoder
+    attention."""
+    from propainter_tpu.demo.segmenter import SamSegmenter
+
+    net = torch_sam.Sam(TINY)
+    _randomize(net, seed=5)
+    params = convert_sam_state_dict(net.state_dict())
+    rng = np.random.default_rng(5)
+    image = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    clicks = np.array([[30.0, 20.0], [50.0, 36.0]], np.float32)
+    labels = np.array([1, 0], np.int32)
+
+    seg = SamSegmenter(params, config=TINY)  # default: exact n+1 padding
+    seg.set_image(image)
+    coords_j, labels_j = seg._pack_points(clicks, labels)
+    assert coords_j.shape == (1, 3, 2), "exactly one pad point"
+    assert int(labels_j[0, -1]) == -1
+    _, scores, logits = seg.predict(
+        {"point_coords": clicks, "point_labels": labels}, "point")
+
+    # torch mirror: same cv2-resized/normalized/padded image, same scaled
+    # coords, the same single pad token
+    from propainter_tpu.models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+    import cv2
+
+    nh, nw = seg.input_size
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+    pad = np.zeros((TINY.img_size, TINY.img_size, 3), np.float32)
+    pad[:nh, :nw] = x
+    with torch.no_grad():
+        t_masks, t_iou = net(
+            torch.from_numpy(np.moveaxis(pad[None], -1, 1)),
+            torch.from_numpy(np.asarray(coords_j)),
+            torch.from_numpy(np.asarray(labels_j)))
+    np.testing.assert_allclose(logits, t_masks.numpy()[0, 1:],
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(scores, t_iou.numpy()[0, 1:],
+                               atol=2e-3, rtol=1e-3)
+
+    # opt-in bucket mode: drift from the extra not-a-point tokens exists but
+    # stays small relative to the logit scale
+    seg_b = SamSegmenter(params, config=TINY, points_bucket=8)
+    seg_b.set_image(image)
+    cb, lb = seg_b._pack_points(clicks, labels)
+    assert cb.shape == (1, 8, 2)
+    _, scores_b, logits_b = seg_b.predict(
+        {"point_coords": clicks, "point_labels": labels}, "point")
+    drift = np.max(np.abs(logits_b - logits))
+    scale = np.max(np.abs(logits)) + 1e-6
+    assert drift / scale < 0.25, f"bucket-mode drift too large: {drift}"
+
+
 def test_segmenter_predict_api():
     """SamSegmenter behaves like BaseSegmenter.predict: non-square image,
     point/both modes, shapes and thresholding."""
