@@ -31,11 +31,14 @@ BASELINE_FPS = 10.0
 T, H, W = 80, 240, 432
 
 # Transient axon-backend init failures (another client holding the chip, a
-# tunnel hiccup) killed round 2's bench artifact. Each attempt runs in a
-# FRESH subprocess — jax caches a failed backend init for the life of the
-# process, so in-process retry cannot recover.
-RETRY_ATTEMPTS = 5
-RETRY_BACKOFF_S = 60.0
+# tunnel hiccup) killed round 2's bench artifact — and the tunnel can also
+# HANG in jax.devices() indefinitely during an outage. Each attempt runs in
+# a FRESH subprocess (jax caches a failed backend init for the life of the
+# process, so in-process retry cannot recover) with a hard per-attempt
+# timeout (a fresh full-pipeline compile is ~10-20 min; cached ~2 min).
+RETRY_ATTEMPTS = 4
+RETRY_BACKOFF_S = 90.0
+ATTEMPT_TIMEOUT_S = 2100.0
 
 
 def build_pipeline(precision: str):
@@ -153,20 +156,27 @@ def supervise():
 
     last_tail = ""
     for attempt in range(1, RETRY_ATTEMPTS + 1):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                timeout=ATTEMPT_TIMEOUT_S)
+            out, rc = proc.stdout, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode("utf-8", "replace")
+                   if isinstance(e.stdout, bytes) else (e.stdout or ""))
+            rc = "timeout"
         json_line = None
-        for line in proc.stdout.splitlines():
+        for line in out.splitlines():
             line = line.strip()
             if line.startswith("{") and '"metric"' in line:
                 json_line = line
-        if proc.returncode == 0 and json_line is not None:
+        if rc == 0 and json_line is not None:
             print(json_line)
             return 0
-        last_tail = proc.stdout[-2000:]
+        last_tail = out[-2000:]
         print(f"bench attempt {attempt}/{RETRY_ATTEMPTS} failed "
-              f"(rc={proc.returncode}); tail:\n{last_tail}", file=sys.stderr)
+              f"(rc={rc}); tail:\n{last_tail}", file=sys.stderr)
         if attempt < RETRY_ATTEMPTS:
             time.sleep(RETRY_BACKOFF_S)
     print(f"bench failed after {RETRY_ATTEMPTS} attempts", file=sys.stderr)

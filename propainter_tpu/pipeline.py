@@ -86,6 +86,42 @@ def equal_chunk_schedule(length: int, n_chunks: int, pad: int
             for i in range(n_chunks)]
 
 
+def plan_bucket_subruns(bm: np.ndarray) -> list[tuple[int, list[int]]]:
+    """Split a window run into consecutive same-bucket sub-runs for the
+    stage-4 occupancy bucketing.
+
+    bm: (n_windows, nW) bool masked-window bitmaps, in execution order.
+    Returns [(bucket, [window rows])]: buckets are the per-window masked
+    counts rounded up to multiples of 4 (pow2 is too coarse at nW=16 — one
+    briefly-large mask would push the whole run to the dense fallback),
+    then adjacent sub-runs merge greedily while the bucket-upgrade cost
+    stays under a dispatch floor: a separate sub-run costs one extra
+    dispatch (~3 ms, PERF.md); merging upgrades windows to the max bucket
+    (~1 ms of branch-A work per window per 4-step). Execution order is
+    preserved (the 0.5/0.5 revisit average is sequential)."""
+    nW = bm.shape[1]
+    buckets = np.minimum(-(-bm.sum(axis=1).astype(int) // 4) * 4, nW)
+    buckets = np.maximum(buckets, 4)
+    subruns: list[tuple[int, list[int]]] = []
+    for gi, b in enumerate(buckets):
+        if subruns and subruns[-1][0] == b:
+            subruns[-1][1].append(gi)
+        else:
+            subruns.append((int(b), [gi]))
+
+    def upgrade_steps(a, b):
+        bm_ = max(a[0], b[0])
+        return (len(a[1]) * (bm_ - a[0]) + len(b[1]) * (bm_ - b[0])) // 4
+
+    merged: list[tuple[int, list[int]]] = []
+    for sr in subruns:
+        while merged and upgrade_steps(merged[-1], sr) <= 2:
+            prev = merged.pop()
+            sr = (max(prev[0], sr[0]), prev[1] + sr[1])
+        merged.append(sr)
+    return merged
+
+
 def get_ref_index(mid_neighbor_id, neighbor_ids, length, ref_stride=10,
                   ref_num=-1):
     """Global reference frame selection. Reference inference_propainter.py:159-173."""
@@ -639,56 +675,64 @@ class ProPainterPipeline:
         wb = self._window_batch
         grp_row = 0  # runs partition `windows` in order
         for l_t, grp in runs:
-            mw = None
+            # split the run into consecutive same-bucket sub-runs: buckets
+            # are multiples of 4 of the per-window masked count (pow2 is
+            # too coarse at nW=16 — one briefly-large mask would push the
+            # whole run to the dense fallback). Length-1 sub-runs merge
+            # into their neighbor (max bucket) to limit executable
+            # variants; order is preserved (the 0.5/0.5 revisit average is
+            # sequential).
             if bitmaps is not None:
                 bm = bitmaps[grp_row : grp_row + len(grp)]
                 grp_row += len(grp)
-                nW = bm.shape[1]
-                m_max = int(bm.sum(axis=1).max(initial=0))
-                m_b = 1
-                while m_b < m_max:
-                    m_b *= 2
-                if m_b < nW:
-                    idxs = np.zeros((len(grp), m_b), np.int32)
-                    valids = np.zeros((len(grp), m_b), np.bool_)
-                    for gi, row in enumerate(bm):
-                        nz = np.nonzero(row)[0]
+                subruns = plan_bucket_subruns(bm)
+            else:
+                subruns = [(None, list(range(len(grp))))]
+
+            for m_b, rows in subruns:
+                sub = [grp[i] for i in rows]
+                mw = None
+                if m_b is not None and m_b < bm.shape[1]:
+                    idxs = np.zeros((len(sub), m_b), np.int32)
+                    valids = np.zeros((len(sub), m_b), np.bool_)
+                    for si, gi in enumerate(rows):
+                        nz = np.nonzero(bm[gi])[0]
                         if len(nz):
                             # pad by cycling REAL masked indices: duplicate
                             # scatter slots write identical values
-                            idxs[gi] = np.resize(nz, m_b)
-                            valids[gi] = True
+                            idxs[si] = np.resize(nz, m_b)
+                            valids[si] = True
                     mw = (idxs, valids)
 
-            batches = []  # (nb (wb,l_t), rp, fv, w[, mi, mv])
-            for start in range(0, len(grp), wb):
-                ids = list(range(start, min(start + wb, len(grp))))
-                n_real = len(ids)
-                if n_real < wb:
-                    # pad the tail batch by repeating windows with weight 0
-                    # (skipped in the compositing update)
-                    ids = (ids * wb)[:wb]
-                batch = [grp[i] for i in ids]
-                nb = np.array([w_[0] for w_ in batch], np.int32)
-                rp = np.array([w_[1] for w_ in batch], np.int32)
-                fv = np.array([w_[2] for w_ in batch])
-                w = np.zeros(len(batch), np.float32)
-                w[:n_real] = 1.0
-                entry = (nb, rp, fv, w)
-                if mw is not None:
-                    entry += (mw[0][ids], mw[1][ids])
-                batches.append(entry)
-            n_xs = len(batches[0])
-            stacks = tuple(
-                jnp.asarray(np.stack([b[i] for b in batches]))
-                for i in range(n_xs))
-            mi, mv = (stacks[4], stacks[5]) if mw is not None else (None,
-                                                                    None)
-            comp, visited = self._generate_group(
-                self._inpaint_params_c, comp, visited,
-                updated_frames, flows_f, flows_b, masks_dilated,
-                updated_masks, ori, stacks[0], stacks[1], stacks[2],
-                stacks[3], mi, mv, ref_feat_all, l_t)
+                batches = []  # (nb (wb,l_t), rp, fv, w[, mi, mv])
+                for start in range(0, len(sub), wb):
+                    ids = list(range(start, min(start + wb, len(sub))))
+                    n_real = len(ids)
+                    if n_real < wb:
+                        # pad the tail batch by repeating windows with
+                        # weight 0 (skipped in the compositing update)
+                        ids = (ids * wb)[:wb]
+                    batch = [sub[i] for i in ids]
+                    nb = np.array([w_[0] for w_ in batch], np.int32)
+                    rp = np.array([w_[1] for w_ in batch], np.int32)
+                    fv = np.array([w_[2] for w_ in batch])
+                    w = np.zeros(len(batch), np.float32)
+                    w[:n_real] = 1.0
+                    entry = (nb, rp, fv, w)
+                    if mw is not None:
+                        entry += (mw[0][ids], mw[1][ids])
+                    batches.append(entry)
+                n_xs = len(batches[0])
+                stacks = tuple(
+                    jnp.asarray(np.stack([b[i] for b in batches]))
+                    for i in range(n_xs))
+                mi, mv = ((stacks[4], stacks[5]) if mw is not None
+                          else (None, None))
+                comp, visited = self._generate_group(
+                    self._inpaint_params_c, comp, visited,
+                    updated_frames, flows_f, flows_b, masks_dilated,
+                    updated_masks, ori, stacks[0], stacks[1], stacks[2],
+                    stacks[3], mi, mv, ref_feat_all, l_t)
 
         return comp.astype(jnp.uint8)
 

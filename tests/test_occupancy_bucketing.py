@@ -135,3 +135,29 @@ def test_pipeline_bucketing_on_off_identical(rng):
     # and the mask region was actually generated, not passed through
     assert (outs[1][:, 26:38, 32:58] != frames_np[:, 26:38, 32:58]).mean() \
         > 0.5
+
+
+def test_plan_bucket_subruns():
+    from propainter_tpu.pipeline import plan_bucket_subruns
+
+    def bm(counts, nW=16):
+        out = np.zeros((len(counts), nW), bool)
+        for i, c in enumerate(counts):
+            out[i, :c] = True
+        return out
+
+    # uniform small counts: one sub-run at the rounded bucket
+    assert plan_bucket_subruns(bm([3, 4, 2])) == [(4, [0, 1, 2])]
+    # oscillating small counts merge to the max (upgrade cheaper than a
+    # dispatch)
+    [(b, rows)] = plan_bucket_subruns(bm([3, 7, 3, 7]))
+    assert b == 8 and rows == [0, 1, 2, 3]
+    # one briefly-large mask must NOT drag a long run up: split
+    plans = plan_bucket_subruns(bm([4, 4, 4, 4, 4, 16]))
+    assert plans == [(4, [0, 1, 2, 3, 4]), (16, [5])]
+    # order is preserved and rows partition the run
+    plans = plan_bucket_subruns(bm([2, 2, 12, 12, 12, 2, 2]))
+    flat = [r for _, rows in plans for r in rows]
+    assert flat == list(range(7))
+    # counts of zero still get a (cheap) minimum bucket
+    assert plan_bucket_subruns(bm([0, 0]))[0][0] == 4
