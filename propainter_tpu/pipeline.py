@@ -176,6 +176,14 @@ class PipelineConfig:
     # frame (the reference's data-dependent mask_tokens gather in
     # static-shape form). Costs one tiny readback per window group.
     occupancy_bucketing: bool = True
+    # stage-4 encoder overlap carry: consecutive sliding windows share
+    # l_t - stride local frames (11 - 5 = 6 at the defaults); the window
+    # scan carries their encoder features so each step encodes only the
+    # stride new frames (the encoder is strictly per-frame, so features
+    # are identical — the reference re-encodes every frame up to 4x).
+    # Applies when window_batch == 1 and the run's windows are regularly
+    # strided; bit-exactness is pinned by the on/off pipeline test.
+    encoder_carry: bool = True
     # sparse window attention implementation.
     # 'flash' (default): dense dual-branch, with branch A's softmax fused in
     #   a pallas kernel whose K/V fit in VMEM whole — the (Tq, Tk) logits
@@ -242,7 +250,7 @@ class ProPainterPipeline:
         # the per-window dispatch floor (~3 ms each through the remote-exec
         # path, PERF.md) is paid once per group instead of once per window
         self._generate_group = jax.jit(
-            self._generate_group_fn, static_argnames=("l_t",),
+            self._generate_group_fn, static_argnames=("l_t", "stride"),
             donate_argnums=(1, 2))
         self._encode_all = jax.jit(self._encode_all_fn)
         self._window_occ = jax.jit(self._window_occ_fn)
@@ -355,7 +363,8 @@ class ProPainterPipeline:
     def _generate_group_fn(self, inpaint_params, comp, visited,
                            updated_frames, flows_f, flows_b, masks_dilated,
                            updated_masks, ori, nb, rp, fv, w, mi, mv,
-                           ref_feat_all, l_t: int):
+                           ref_feat_all, seed_ids, l_t: int,
+                           stride: int | None = None):
         """All same-shape sliding windows of one group in ONE executable:
         lax.scan over window batches; each step runs the generator on a
         (wb, l_t+ref_pad, ...) batch and applies the reference's SEQUENTIAL
@@ -383,9 +392,20 @@ class ProPainterPipeline:
         masks_bin = masks_dilated[0]  # (T, H, W, 1) 0/1 f32
 
         use_mw = mi is not None
+        use_carry = stride is not None
+
+        def enc_frames(ids):
+            """Encoder features for a set of frame ids (per-frame op —
+            identical no matter which window computes them)."""
+            enc_in = jnp.concatenate([uf[ids], md[ids], um[ids]], axis=-1)
+            return Encoder().apply(
+                {"params": inpaint_params["encoder"]}, enc_in)
 
         def step(carry, xs):
-            comp, visited = carry
+            if use_carry:
+                comp, visited, feat_carry = carry
+            else:
+                comp, visited = carry
             if use_mw:
                 nb_i, rp_i, fv_i, w_i, mi_i, mv_i = xs
             else:
@@ -403,11 +423,25 @@ class ProPainterPipeline:
                 sel_imgs, sel_ff, sel_fb, sel_masks, sel_upd, ref_feat = map(
                     wsc, (sel_imgs, sel_ff, sel_fb, sel_masks, sel_upd,
                           ref_feat))
-            pred = self.inpaint.apply(
-                {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
-                sel_masks, sel_upd, l_t,
-                frame_valid=fv_i, precomputed_ref_feat=ref_feat,
-                masked_windows=((mi_i, mv_i) if use_mw else None))
+            if use_carry:
+                # consecutive windows overlap by l_t - stride local frames:
+                # encode only the stride NEW ones, reuse the rest from the
+                # scan carry (wb == 1 on this path)
+                new_feat = enc_frames(nb_i[0, l_t - stride:])
+                local_feat = jnp.concatenate([feat_carry, new_feat], axis=0)
+                enc_feat = jnp.concatenate(
+                    [local_feat[None], ref_feat], axis=1)
+                pred = self.inpaint.apply(
+                    {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
+                    sel_masks, sel_upd, l_t,
+                    frame_valid=fv_i, precomputed_enc_feat=enc_feat,
+                    masked_windows=((mi_i, mv_i) if use_mw else None))
+            else:
+                pred = self.inpaint.apply(
+                    {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
+                    sel_masks, sel_upd, l_t,
+                    frame_valid=fv_i, precomputed_ref_feat=ref_feat,
+                    masked_windows=((mi_i, mv_i) if use_mw else None))
             # (pred+1)/2*255 in the reference's operation order, then the
             # uint8 truncation (floor: values are non-negative)
             img8 = jnp.floor((pred.astype(jnp.float32) + 1.0) / 2.0 * 255.0)
@@ -428,11 +462,17 @@ class ProPainterPipeline:
 
             comp, visited = jax.lax.fori_loop(
                 0, nb_i.shape[0], upd, (comp, visited))
+            if use_carry:
+                return (comp, visited, local_feat[stride:]), None
             return (comp, visited), None
 
         xs = (nb, rp, fv, w) + ((mi, mv) if use_mw else ())
-        (comp, visited), _ = jax.lax.scan(step, (comp, visited), xs)
-        return comp, visited
+        init = (comp, visited)
+        if use_carry:
+            # seed: features of window 0's first l_t - stride local frames
+            init = init + (enc_frames(seed_ids),)
+        out_carry, _ = jax.lax.scan(step, init, xs)
+        return out_carry[0], out_carry[1]
 
     # ---- multi-chip chunk sharding (stages 2+3) --------------------------
 
@@ -728,11 +768,26 @@ class ProPainterPipeline:
                     for i in range(n_xs))
                 mi, mv = ((stacks[4], stacks[5]) if mw is not None
                           else (None, None))
+                # encoder overlap carry: regularly-strided single-window
+                # steps share l_t - stride local frames with their
+                # predecessor — encode only the new ones (PipelineConfig
+                # .encoder_carry)
+                stride = None
+                seed_ids = jnp.zeros((0,), jnp.int32)
+                if self.config.encoder_carry and wb == 1 and len(sub) > 1:
+                    nbs = [w_[0] for w_ in sub]
+                    s = nbs[1][0] - nbs[0][0]
+                    if 0 < s < l_t and all(
+                            nbs[k + 1] == [x + s for x in nbs[k]]
+                            for k in range(len(nbs) - 1)):
+                        stride = s
+                        seed_ids = jnp.asarray(nbs[0][: l_t - s], jnp.int32)
                 comp, visited = self._generate_group(
                     self._inpaint_params_c, comp, visited,
                     updated_frames, flows_f, flows_b, masks_dilated,
                     updated_masks, ori, stacks[0], stacks[1], stacks[2],
-                    stacks[3], mi, mv, ref_feat_all, l_t)
+                    stacks[3], mi, mv, ref_feat_all, seed_ids, l_t=l_t,
+                    stride=stride)
 
         return comp.astype(jnp.uint8)
 

@@ -124,14 +124,19 @@ def test_pipeline_bucketing_on_off_identical(rng):
                          jnp.float32))
 
     outs = []
-    for bucketing in (False, True):
+    # (occupancy_bucketing, encoder_carry): plain baseline, the default
+    # fast path, and each optimization alone — all must be IDENTICAL
+    for bucketing, carry in ((False, False), (True, True), (False, True),
+                             (True, False)):
         pipe = ProPainterPipeline(
             raft, fc, gen,
             PipelineConfig(ref_stride=4, neighbor_length=4,
-                           occupancy_bucketing=bucketing))
+                           occupancy_bucketing=bucketing,
+                           encoder_carry=carry))
         outs.append(np.asarray(
             pipe.generate(frames, flows, masks, masks, frames_np)))
-    np.testing.assert_array_equal(outs[0], outs[1])
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
     # and the mask region was actually generated, not passed through
     assert (outs[1][:, 26:38, 32:58] != frames_np[:, 26:38, 32:58]).mean() \
         > 0.5
