@@ -178,3 +178,24 @@ def test_sharded_chunk_stages_match_sequential(rng):
     np.testing.assert_allclose(np.asarray(um_sh),
                                np.asarray(jnp.concatenate(um_seq, 1)),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_sharded_stage1_lowering_carries_mesh_sharding(rng):
+    """Layout regression guard (cheap): the sharded pipeline's stage-1
+    lowering must carry the 8-way batch sharding annotation for the frame
+    axis — catching a dropped with_sharding_constraint without paying for
+    execution."""
+    H, W = 64, 96
+    raft, fc, gen = _params(H, W)
+    pipe = ProPainterPipeline(
+        raft, fc, gen, PipelineConfig(raft_iter=1, shard_inference=True))
+    assert pipe._batch_sharding is not None
+    n_dev = pipe._batch_sharding.mesh.size
+    frames = jnp.zeros((1, n_dev, H, W, 3), jnp.float32)
+    txt = pipe._raft_bi.lower(pipe.raft_params, frames, iters=1).as_text()
+    # Shardy (sdy) dialect: the mesh declares the 8-way 'data' axis and the
+    # frame-batch tensors carry explicit sharding constraints on it
+    assert f'"data"={n_dev}' in txt, "mesh axis declaration missing"
+    assert 'sdy.sharding_constraint' in txt and '[{"data"}' in txt, (
+        "stage-1 lowering lost the mesh sharding annotation")
