@@ -112,11 +112,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fp16", "--bf16", dest="bf16", action="store_true",
                    help="half precision (bf16 on TPU)")
     p.add_argument("--weights", type=str, default="weights")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force a jax backend (e.g. cpu to debug without a "
+                        "TPU; this image pins JAX_PLATFORMS=axon at "
+                        "interpreter start, so an env var cannot)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from propainter_tpu.pipeline import ProPainterPipeline, PipelineConfig
     from propainter_tpu.utils.video import (

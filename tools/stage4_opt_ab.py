@@ -40,8 +40,10 @@ def main():
 
     base = build_pipeline("bf16")
     results = {}
-    for bucketing, carry in ((False, False), (True, False), (False, True),
-                             (True, True)):
+    combos = ((False, False), (True, True))
+    if os.environ.get("AB_ALL") == "1":  # singles too (2 more compiles)
+        combos = ((False, False), (True, False), (False, True), (True, True))
+    for bucketing, carry in combos:
         pipe = ProPainterPipeline(
             base.raft_params, base.flowcomp_params, base.inpaint_params,
             PipelineConfig(precision="bf16", occupancy_bucketing=bucketing,
