@@ -3,9 +3,10 @@
 Equivalent of reference web-demos/hugging_face/inpainter/base_inpainter.py:163
 (`ProInpainter.inpaint`): numpy frames + masks in, inpainted frames out, with
 the same knobs (ratio, dilate_radius, raft_iter, subvideo_length,
-neighbor_length, ref_stride). The SAM/Cutie interactive tracking layers of
-the reference demo are vendored third-party models and out of scope; this
-facade is the integration point a UI plugs into.
+neighbor_length, ref_stride). The SAM/Cutie interactive tracking layers live
+in models/sam.py + models/cutie.py with demo/tracking.TrackingFacade as the
+composition point; this facade is the inpainting integration point a UI
+plugs into.
 """
 
 from __future__ import annotations
