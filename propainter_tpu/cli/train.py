@@ -29,12 +29,19 @@ def main(argv=None):
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--max_iters", type=int, default=None,
                    help="override config iterations (for smoke runs)")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force a jax backend (the image pins "
+                        "JAX_PLATFORMS=axon at interpreter start)")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
         config = json.load(f)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
