@@ -104,6 +104,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    # sitecustomize imports jax before this file runs, so the env var set
+    # at module level is too late for THIS process (it still propagates to
+    # --inner subprocesses); set the config directly as well.
+    enable_persistent_cache()
+
     # bf16 = the TPU-native equivalent of the reference's --fp16 switch
     # (inference_propainter.py:333-337); RAFT stays fp32 either way.
     pipe = build_pipeline("bf16")

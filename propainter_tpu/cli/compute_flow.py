@@ -16,6 +16,10 @@ import os
 
 
 def main(argv=None):
+
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--root", required=True)
     p.add_argument("--save_path", required=True)

@@ -62,6 +62,10 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
     import jax
 

@@ -20,6 +20,10 @@ import numpy as np
 
 
 def main(argv=None):
+
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="davis")
     p.add_argument("--video_root", required=True)

@@ -123,6 +123,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.platform:
         import jax
 

@@ -25,6 +25,10 @@ import numpy as np
 
 
 def main(argv=None):
+
+    from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--max_iters", type=int, default=None,

@@ -14,10 +14,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 import numpy as np
 import jax
+
+from propainter_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 
