@@ -24,7 +24,10 @@ import flax.linen as nn
 
 from propainter_tpu.models.layers import conv2d, InstanceNorm, FrozenBatchNorm
 from propainter_tpu.ops.corr import corr_pyramid, corr_lookup, corr_lookup_mxu
-from propainter_tpu.ops.corr_pallas import corr_pyramid_t, corr_lookup_fused
+from propainter_tpu.ops.corr_pallas import (corr_pyramid_t, corr_lookup_fused,
+                                            corr_pyramid_flat,
+                                            corr_lookup_flat,
+                                            corr_lookup_flat_moenc)
 from propainter_tpu.ops.warp import coords_grid
 from propainter_tpu.ops.patches import unfold
 
@@ -74,12 +77,39 @@ class BasicEncoder(nn.Module):
         return conv2d(self.output_dim, 1, 1, 0, name="conv2")(x)
 
 
-class BasicMotionEncoder(nn.Module):
-    """Reference RAFT/update.py:79-97. corr has levels*(2r+1)^2 channels."""
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-layout params (kernel HWIO, bias) without applying
+    them — for convs algebraically fused into a pallas kernel while the
+    param tree stays checkpoint-compatible (same trick as
+    propainter._DenseParams)."""
+
+    in_features: int
+    features: int
 
     @nn.compact
-    def __call__(self, flow, corr):
-        cor = jax.nn.relu(conv2d(256, 1, 1, 0, name="convc1")(corr))
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class BasicMotionEncoder(nn.Module):
+    """Reference RAFT/update.py:79-97. corr has levels*(2r+1)^2 channels.
+
+    Fused path (`pyramid`/`coords` given, flat layout): convc1 + relu run
+    inside the correlation-lookup kernel epilogue (ops/corr_pallas.py
+    moenc) — the (N, 324) window tensor never reaches HBM."""
+
+    @nn.compact
+    def __call__(self, flow, corr=None, *, pyramid=None, coords=None):
+        if pyramid is not None:
+            C = len(pyramid) * 81
+            k, b = _ConvParams(C, 256, name="convc1")()
+            cor = corr_lookup_flat_moenc(
+                list(pyramid), coords, k.reshape(C, 256), b, radius=4)
+        else:
+            cor = jax.nn.relu(conv2d(256, 1, 1, 0, name="convc1")(corr))
         cor = jax.nn.relu(conv2d(192, 3, 1, 1, name="convc2")(cor))
         flo = jax.nn.relu(conv2d(128, 7, 1, 3, name="convf1")(flow))
         flo = jax.nn.relu(conv2d(64, 3, 1, 1, name="convf2")(flo))
@@ -124,8 +154,9 @@ class BasicUpdateBlock(nn.Module):
     """Reference RAFT/update.py:114-136."""
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+    def __call__(self, net, inp, corr, flow, *, pyramid=None, coords=None):
+        motion = BasicMotionEncoder(name="encoder")(
+            flow, corr, pyramid=pyramid, coords=coords)
         gru_in = jnp.concatenate([inp, motion], -1)
         net = SepConvGRU(name="gru")(net, gru_in)
         delta_flow = FlowHead(name="flow_head")(net)
@@ -137,6 +168,8 @@ class BasicUpdateBlock(nn.Module):
 class _UpdateStep(nn.Module):
     """One scan step of the iterative refinement (carry-through params)."""
 
+    corr_layout: str = "flat"
+
     @nn.compact
     def __call__(self, carry, _):
         net, coords1, up_mask, inp, coords0, pyramid = carry
@@ -144,13 +177,20 @@ class _UpdateStep(nn.Module):
         # semantics). On TPU: pallas kernel over the pixel-laned (transposed)
         # pyramid — 2.5x the MXU-matmul form, which pays for its (N, n, Hc)
         # interpolation matrices every iteration. CPU keeps the matmul form.
-        if jax.default_backend() == "cpu":
-            corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
-        else:
-            corr = corr_lookup_fused(list(pyramid), coords1, radius=4)
         flow = coords1 - coords0
-        net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
-            net, inp, corr, flow)
+        if jax.default_backend() != "cpu" and self.corr_layout == "flat":
+            # flat layout: the lookup runs inside the motion encoder with
+            # convc1+relu fused into the kernel epilogue
+            net, up_mask, delta_flow = BasicUpdateBlock(
+                name="update_block")(net, inp, None, flow,
+                                     pyramid=pyramid, coords=coords1)
+        else:
+            if jax.default_backend() == "cpu":
+                corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
+            else:
+                corr = corr_lookup_fused(list(pyramid), coords1, radius=4)
+            net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
+                net, inp, corr, flow)
         coords1 = coords1 + delta_flow
         return (net, coords1, up_mask, inp, coords0, pyramid), None
 
@@ -192,6 +232,12 @@ class RAFT(nn.Module):
     # on ~8 px flows over 20 iterations); the bf16 inference pipeline uses
     # it. Pooling and the GRU stay fp32.
     corr_volume_dtype: str = "float32"
+    # 'flat' packs the pair batch into the lookup kernel's lane axis
+    # (corr_pyramid_flat): no per-pair lane padding (21% dead VPU/HBM work
+    # at inference shapes) and no per-call volume pad copies. 'batched'
+    # keeps per-pair lanes — the layout to use if the refinement is ever
+    # GSPMD-sharded over the pair axis on a real multi-chip mesh.
+    corr_layout: str = "flat"
 
     def setup(self):
         self.fnet = BasicEncoder(256, "instance")
@@ -201,7 +247,7 @@ class RAFT(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0, out_axes=0,
-        )()
+        )(corr_layout=self.corr_layout)
 
     def encode(self, images):
         """Per-frame features: (N, H, W, 3) -> (fmap, net, inp).
@@ -224,9 +270,15 @@ class RAFT(nn.Module):
         else:
             # transposed (query-pixel-laned) volume: pools and the fused
             # lookup run at full lane width (see ops/corr_pallas.py)
-            pyramid = tuple(
-                c.astype(self.corr_volume_dtype)
-                for c in corr_pyramid_t(fmap1, fmap2, self.corr_levels))
+            if self.corr_layout == "flat":
+                # cast-before-transpose happens inside the builder
+                pyramid = tuple(corr_pyramid_flat(
+                    fmap1, fmap2, self.corr_levels,
+                    out_dtype=self.corr_volume_dtype))
+            else:
+                pyramid = tuple(
+                    c.astype(self.corr_volume_dtype)
+                    for c in corr_pyramid_t(fmap1, fmap2, self.corr_levels))
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)

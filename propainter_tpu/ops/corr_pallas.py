@@ -60,15 +60,121 @@ def corr_pyramid_t(fmap1, fmap2, num_levels: int = 4):
     return pyramid
 
 
-def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius):
+def _flatten_copy_kernel(in_ref, out_ref, *, lane_pad):
+    v = in_ref[...].astype(out_ref.dtype)
+    if lane_pad:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+    out_ref[...] = v
+
+
+def _flatten_pairs(c, out_dtype, Pq: int, interpret: bool):
+    """(B, Hc, Wc, P) -> (1, Hc, Wc, B*Pq) out_dtype, lane = b*Pq + p,
+    each pair's lanes zero-padded P -> Pq in-kernel.
+
+    Logically cast+pad+transpose (B out of the leading dim), but XLA's
+    transpose of this pattern measured 41 GB/s effective in bf16 (~40 ms
+    for the L0 volume at inference shapes) and its cast+pad pass another
+    ~100 GB/s; as a pallas grid-over-(pair, row) aligned block copy the
+    whole thing is one read of the fp32 volume and one write of the
+    out_dtype flat volume at memory speed. Pq must be a multiple of 128 so
+    every out-block lane offset is aligned.
+    """
+    B, Hc, Wc, P = c.shape
+    assert Pq % 128 == 0 and Pq >= P, (Pq, P)
+    return pl.pallas_call(
+        functools.partial(_flatten_copy_kernel, lane_pad=Pq - P),
+        out_shape=jax.ShapeDtypeStruct((1, Hc, Wc, B * Pq), out_dtype),
+        grid=(B, Hc),
+        in_specs=[pl.BlockSpec((1, 1, Wc, P), lambda b, h: (b, h, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, Wc, Pq), lambda b, h: (0, h, 0, b)),
+        interpret=interpret,
+    )(c)
+
+
+def corr_pyramid_flat(fmap1, fmap2, num_levels: int = 4,
+                      out_dtype=jnp.float32, interpret=None):
+    """Transposed pyramid with the PAIR BATCH flattened into the lane dim:
+    levels of (1, Hc, Wc, B*Pq) out_dtype, where Pq = H*W rounded up to a
+    multiple of 128 and lane index = b*Pq + p (b-major, per-pair padded).
+
+    Values identical to corr_pyramid_t (+ the out_dtype cast). Why flatten:
+    with per-pair lanes (P=1620 at inference shapes) the lookup kernel pads
+    every pair to a multiple of its lane block (NL=512 -> 2048 lanes, 21%
+    dead lanes that still pay full VPU select-chain and HBM cost every
+    iteration, plus a whole-pyramid jnp.pad copy). The fused lane axis pads
+    each pair to the next 128 multiple (1664, 2.7%) — at build time, once,
+    so the lookup never copies the volume.
+
+    Build order matters: einsum and the 4 pools run in the BATCHED layout
+    (fp32, bit-identical to corr_pyramid_t); each level is then cast to
+    out_dtype, per-pair lane-padded, and flattened by an aligned pallas
+    block copy (XLA's own transpose measured 41 GB/s here).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, H, W, D = fmap1.shape
+    batched = corr_pyramid_t(fmap1, fmap2, num_levels)
+    P = H * W
+    Pq = -(-P // 128) * 128
+    return [_flatten_pairs(c, out_dtype, Pq, interpret) for c in batched]
+
+
+def corr_lookup_flat(pyramid_flat, coords, radius: int = 4,
+                     block: int = 512, interpret=None):
+    """corr_lookup_fused over a corr_pyramid_flat pyramid.
+
+    coords: (B, H, W, 2) per-pair pixel coords; returns (B, H, W, C) fp32,
+    identical to corr_lookup_mxu / corr_lookup_fused.
+    """
+    B, H, W, _ = coords.shape
+    P = H * W
+    BPq = pyramid_flat[0].shape[-1]
+    Pq = BPq // B
+    flat = coords.reshape(B, P, 2)
+    if Pq != P:
+        # pad each pair's query lanes (tiny) to match the pyramid's
+        # per-pair padded lane count; the kernel then sees P == Pp and
+        # never touches the volume
+        flat = jnp.pad(flat, ((0, 0), (0, Pq - P), (0, 0)))
+    out = corr_lookup_fused(pyramid_flat, flat.reshape(1, 1, B * Pq, 2),
+                            radius=radius, block=block, interpret=interpret)
+    out = out[0, 0].reshape(B, Pq, -1)
+    return out[:, :P].reshape(B, H, W, -1)
+
+
+def corr_lookup_flat_moenc(pyramid_flat, coords, w, bias, radius: int = 4,
+                           block: int = 512, interpret=None):
+    """Flat-layout lookup with the convc1 epilogue fused (see
+    corr_lookup_fused's `moenc`): returns relu(corr @ w + b), (B, H, W, F).
+    """
+    B, H, W, _ = coords.shape
+    P = H * W
+    BPq = pyramid_flat[0].shape[-1]
+    Pq = BPq // B
+    flat = coords.reshape(B, P, 2)
+    if Pq != P:
+        flat = jnp.pad(flat, ((0, 0), (0, Pq - P), (0, 0)))
+    out = corr_lookup_fused(pyramid_flat, flat.reshape(1, 1, B * Pq, 2),
+                            radius=radius, block=block, interpret=interpret,
+                            moenc=(w, bias))
+    out = out[0].reshape(B, Pq, -1)
+    return out[:, :P].reshape(B, H, W, -1)
+
+
+def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False):
     n_levels = len(level_hw)
     c_refs = refs[:n_levels]
-    out_ref = refs[n_levels]
+    if moenc:
+        # fused BasicMotionEncoder convc1: inputs (..., W, b), one output
+        w_ref, b_ref, out_ref = refs[n_levels:]
+    else:
+        out_ref = refs[n_levels]
     r = radius
     n = 2 * r + 1
     NL = cy_ref.shape[-1]
     cy = cy_ref[0]   # (1, NL)
     cx = cx_ref[0]
+    all_vals = []
     for l, (Hc, Wc) in enumerate(level_hw):
         scale = jnp.float32(2.0 ** -l)
         cyl = cy * scale
@@ -132,19 +238,40 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius):
                 for j in range(n):
                     vals.append(prev[j] * (1.0 - fx) + cols[j] * fx)
             prev = cols
-        out_ref[0, l * n * n : (l + 1) * n * n] = jnp.concatenate(
-            vals, axis=0).astype(out_ref.dtype)
+        if moenc:
+            all_vals.extend(vals)
+        else:
+            out_ref[0, l * n * n : (l + 1) * n * n] = jnp.concatenate(
+                vals, axis=0).astype(out_ref.dtype)
+    if moenc:
+        # cor = relu(corr @ W + b) on the MXU, written QUERY-MAJOR (NL, 256)
+        # so the downstream 3x3 convs read (B, H, W, 256) with NO relayout.
+        # The (C, NL) window tensor never leaves VMEM: per iteration this
+        # removes the corr HBM write, the (B, C, P)->(B, P, C) relayout, and
+        # convc1's read (~1 GB at inference shapes). bf16 operands + fp32
+        # accumulation match XLA's default TPU precision for this conv.
+        allv = jnp.concatenate(all_vals, axis=0)          # (C, NL) f32
+        acc = jax.lax.dot_general(
+            allv.astype(jnp.bfloat16), w_ref[...].astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (NL, 256)
+        out_ref[0] = jax.nn.relu(acc + b_ref[...]).astype(out_ref.dtype)
 
 
 def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
-                      interpret=None):
+                      interpret=None, moenc=None):
     """Windowed correlation lookup from a TRANSPOSED pyramid.
 
     Args:
       pyramid_t: list of (B, Hc, Wc, P) volumes (corr_pyramid_t).
       coords: (B, H, W, 2) pixel coords, last dim (x, y).
+      moenc: optional (W (C, F), b (F,)) — fuse `relu(corr @ W + b)`
+        (BasicMotionEncoder.convc1, reference RAFT/update.py:82,92) into the
+        kernel epilogue and return (B, H, W, F) query-major, so the window
+        tensor never reaches HBM.
     Returns:
-      (B, H, W, num_levels*(2r+1)^2) fp32 — identical to corr_lookup_mxu.
+      (B, H, W, num_levels*(2r+1)^2) fp32 — identical to corr_lookup_mxu —
+      or (B, H, W, F) with moenc.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -154,6 +281,14 @@ def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
     n_levels = len(pyramid_t)
     C = n_levels * n * n
     NL = min(block, -(-P // 128) * 128)
+    if P % NL and P % 128 == 0:
+        # prefer a lane block that divides P exactly: the pad branch below
+        # copies the WHOLE pyramid (the flat layout arranges P % 128 == 0
+        # precisely so this never triggers)
+        for cand in range(NL, 0, -128):
+            if P % cand == 0:
+                NL = cand
+                break
     nb = -(-P // NL)
     Pp = nb * NL
 
@@ -169,20 +304,41 @@ def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
     cy = cy[:, None, :]
     level_hw = tuple(c.shape[1:3] for c in pyramid_t)
 
-    out = pl.pallas_call(
-        functools.partial(_lookup_kernel, level_hw=level_hw, radius=radius),
-        out_shape=jax.ShapeDtypeStruct((B, C, Pp), jnp.float32),
-        grid=(B, nb),
-        in_specs=(
-            [pl.BlockSpec((1, 1, NL), lambda b, i: (b, 0, i)),
-             pl.BlockSpec((1, 1, NL), lambda b, i: (b, 0, i))]
-            + [pl.BlockSpec((1, hc, wc, NL), lambda b, i: (b, 0, 0, i))
-               for (hc, wc) in level_hw]
-        ),
-        out_specs=pl.BlockSpec((1, C, NL), lambda b, i: (b, 0, i)),
-        interpret=interpret,
-    )(cy, cx, *pyramid_t)
+    in_specs = (
+        [pl.BlockSpec((1, 1, NL), lambda b, i: (b, 0, i)),
+         pl.BlockSpec((1, 1, NL), lambda b, i: (b, 0, i))]
+        + [pl.BlockSpec((1, hc, wc, NL), lambda b, i: (b, 0, 0, i))
+           for (hc, wc) in level_hw]
+    )
+    if moenc is None:
+        out = pl.pallas_call(
+            functools.partial(_lookup_kernel, level_hw=level_hw,
+                              radius=radius),
+            out_shape=jax.ShapeDtypeStruct((B, C, Pp), jnp.float32),
+            grid=(B, nb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, C, NL), lambda b, i: (b, 0, i)),
+            interpret=interpret,
+        )(cy, cx, *pyramid_t)
 
-    out = out[..., :P]                      # (B, C, P)
-    out = jnp.moveaxis(out, 1, 2)           # (B, P, C)
-    return out.reshape(B, H, W, C)
+        out = out[..., :P]                      # (B, C, P)
+        out = jnp.moveaxis(out, 1, 2)           # (B, P, C)
+        return out.reshape(B, H, W, C)
+
+    w, bias = moenc
+    F = w.shape[-1]
+    assert w.shape == (C, F) and bias.shape == (F,), (w.shape, bias.shape)
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, level_hw=level_hw, radius=radius,
+                          moenc=True),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, F), jnp.float32),
+        grid=(B, nb),
+        in_specs=in_specs + [
+            pl.BlockSpec((C, F), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NL, F), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(cy, cx, *pyramid_t, w.astype(jnp.float32),
+      bias.astype(jnp.float32).reshape(1, F))
+    return out[:, :P].reshape(B, H, W, F)

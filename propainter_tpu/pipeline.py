@@ -210,7 +210,12 @@ class ProPainterPipeline:
         impl = self.config.attention_impl
         self.raft = raft or RAFT(
             corr_volume_dtype=("bfloat16" if self.config.precision == "bf16"
-                               else "float32"))
+                               else "float32"),
+            # the flat corr layout fuses the pair axis into the kernel lane
+            # axis; keep per-pair lanes when the pair batch is sharded so
+            # the partitioner can split it (see RAFT.corr_layout)
+            corr_layout=("batched" if self.config.shard_inference
+                         else "flat"))
         self.flowcomp = flowcomp or RecurrentFlowCompleteNet()
         self.inpaint = inpaint or InpaintGenerator(attention_impl=impl)
         self.raft_params = raft_params

@@ -439,3 +439,53 @@ class TestCorrPallas:
             got = np.asarray(corr_lookup_fused(
                 corr_pyramid_t(f1, f2), coords, 4, interpret=True))
             np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_flat_lookup_matches_mxu(self, rng):
+        """Flat (pair-batch-in-lanes) pyramid lookup == MXU lookup,
+        including the build-time lane padding path (B*H*W % 128 != 0)."""
+        import jax.numpy as jnp
+        from propainter_tpu.ops.corr import corr_pyramid, corr_lookup_mxu
+        from propainter_tpu.ops.corr_pallas import (
+            corr_pyramid_flat, corr_lookup_flat)
+
+        for (B, Hc, Wc, D) in [(3, 12, 20, 64), (2, 8, 10, 16)]:
+            f1 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)),
+                             jnp.float32)
+            f2 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)),
+                             jnp.float32)
+            coords = jnp.asarray(
+                rng.uniform(-20, max(Hc, Wc) + 20, (B, Hc, Wc, 2)),
+                jnp.float32)
+            pyr = corr_pyramid_flat(f1, f2)
+            assert pyr[0].shape[-1] % 128 == 0
+            ref = np.asarray(
+                corr_lookup_mxu(corr_pyramid(f1, f2), coords, 4))
+            got = np.asarray(corr_lookup_flat(
+                pyr, coords, 4, interpret=True))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_flat_lookup_moenc_fusion(self, rng):
+        """The convc1-fused epilogue == relu(lookup @ W + b) (bf16 MXU
+        operand precision in-kernel -> bf16-class tolerance)."""
+        import jax
+        import jax.numpy as jnp
+        from propainter_tpu.ops.corr_pallas import (
+            corr_pyramid_flat, corr_lookup_flat, corr_lookup_flat_moenc)
+
+        B, Hc, Wc, D = 2, 12, 20, 64
+        f1 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((B, Hc, Wc, D)), jnp.float32)
+        coords = jnp.asarray(
+            rng.uniform(-5, max(Hc, Wc) + 5, (B, Hc, Wc, 2)), jnp.float32)
+        C = 4 * 81
+        w = jnp.asarray(rng.standard_normal((C, 256)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((256,)) * 0.05, jnp.float32)
+
+        pyr = corr_pyramid_flat(f1, f2)
+        corr = corr_lookup_flat(pyr, coords, 4, interpret=True)
+        ref = np.asarray(jax.nn.relu(corr @ w + b))
+        got = np.asarray(corr_lookup_flat_moenc(
+            pyr, coords, w, b, 4, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+        # fused epilogue must not change WHERE activations fire
+        assert ((got > 0) == (ref > 0)).mean() > 0.99
