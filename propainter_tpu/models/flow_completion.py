@@ -156,7 +156,9 @@ class _Deconv(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = resize(x, (2 * H, 2 * W), "bilinear", align_corners=True)
+        # matmul-form upsample: 0.87x the gather form here (tools/resize_ab)
+        x = resize(x, (2 * H, 2 * W), "bilinear", align_corners=True,
+                   impl="mxu")
         return conv2d(self.features, 3, 1, 1, name="conv")(x)
 
 

@@ -103,7 +103,10 @@ class _Deconv(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = resize(x, (2 * H, 2 * W), "bilinear", align_corners=True)
+        # matmul-form upsample: 0.6-0.7x the gather form at decoder shapes
+        # (tools/resize_ab.py)
+        x = resize(x, (2 * H, 2 * W), "bilinear", align_corners=True,
+                   impl="mxu")
         return conv2d(self.features, 3, 1, 1, name="conv")(x)
 
 
@@ -338,11 +341,19 @@ class SparseWindowAttention(nn.Module):
     attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, mask, frame_select, masked_windows=None):
+    def __call__(self, x, mask, frame_select, masked_windows=None,
+                 q_frames: int | None = None):
         """
         Args:
           x:    (B, T, H, W, C) tokens.
           mask: (B, l_t, H, W, 1) pooled local-frame masks (1 = hole).
+          q_frames: compute attention for only the first q_frames frames'
+            QUERIES (keys/values still come from all frames) — the output is
+            (B, q_frames, H, W, C). Exact: each query row's softmax is
+            independent, so dropping rows cannot change the kept ones. The
+            generator uses this on the LAST block at inference, where the
+            reference-frame token updates are discarded (eval decodes
+            [:l_t] — reference model/propainter.py:365-369).
           frame_select: frames visible to masked-window attention — either a
             (T,) / (B, T) bool array, or a tuple
             (static_sel: np.ndarray (T,), dynamic_valid: array (B?,T) | None)
@@ -380,11 +391,15 @@ class SparseWindowAttention(nn.Module):
                 mask, ((0, 0), (0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         nW = nwh * nww
         win_tokens = wh * ww
+        Tq = T if q_frames is None else q_frames
+        if q_frames is not None:
+            assert self.attention_impl != "pallas", (
+                "q_frames shrink not wired for the opt-in pallas kernel")
 
         query_l = nn.Dense(C, name="query")
         key_l = nn.Dense(C, name="key")
         value_l = nn.Dense(C, name="value")
-        q = query_l(x)
+        q = query_l(x[:, :Tq])
         k = key_l(x)
         v = value_l(x)
 
@@ -424,8 +439,9 @@ class SparseWindowAttention(nn.Module):
                 return g.transpose(0, 2, 4, 1, 3, 5)
 
             win_q = gather_windows(q, idx_q)
-            win_k = gather_windows(k, idx_q)
-            win_v = gather_windows(v, idx_q)
+            # branch-B keys/values are same-frame: only query frames needed
+            win_k = gather_windows(k[:, :Tq], idx_q)
+            win_v = gather_windows(v[:, :Tq], idx_q)
         # pooled global tokens (depthwise avg-like conv, learnable)
         ph, pw = self.pool_size
         pool_x = nn.Conv(C, kernel_size=(ph, pw), strides=(ph, pw),
@@ -521,7 +537,7 @@ class SparseWindowAttention(nn.Module):
             k_tok = win_k_all.shape[4]
 
             # branch A: masked windows attend across all (selected) frames
-            qa = win_q_a.reshape(B, nWa, n_head, T * win_tokens, ch)
+            qa = win_q_a.reshape(B, nWa, n_head, Tq * win_tokens, ch)
             ka = win_k_all.reshape(B, nWa, n_head, Ts * k_tok, ch)
             va = win_v_all.reshape(B, nWa, n_head, Ts * k_tok, ch)
             key_mask = None
@@ -546,11 +562,11 @@ class SparseWindowAttention(nn.Module):
 
                 bias = (None if key_mask is None else
                         jnp.where(key_mask, 0.0, -1e9).astype(jnp.float32))
-                qg = qa.reshape(B, nWa * n_head, T * win_tokens, ch)
+                qg = qa.reshape(B, nWa * n_head, Tq * win_tokens, ch)
                 kg = ka.reshape(B, nWa * n_head, Ts * k_tok, ch)
                 vg = va.reshape(B, nWa * n_head, Ts * k_tok, ch)
                 out_a = flash_window_attention(qg, kg, vg, bias, scale)
-                out_a = out_a.reshape(B, nWa, n_head, T, win_tokens, ch)
+                out_a = out_a.reshape(B, nWa, n_head, Tq, win_tokens, ch)
             else:
                 att_a = jnp.einsum(
                     "bwhqc,bwhkc->bwhqk", qa, ka,
@@ -562,7 +578,7 @@ class SparseWindowAttention(nn.Module):
                 out_a = jnp.einsum(
                     "bwhqk,bwhkc->bwhqc", att_a, va,
                     preferred_element_type=jnp.float32).astype(x.dtype)
-                out_a = out_a.reshape(B, nWa, n_head, T, win_tokens, ch)
+                out_a = out_a.reshape(B, nWa, n_head, Tq, win_tokens, ch)
 
             # branch B: clean windows attend within-window, same-frame
             att_b = jnp.einsum(
@@ -587,9 +603,9 @@ class SparseWindowAttention(nn.Module):
                 out = out_b.at[bidx, mw_idx].set(newv)
 
         # inverse window partition
-        out = out.reshape(B, nwh, nww, n_head, T, wh, ww, ch)
+        out = out.reshape(B, nwh, nww, n_head, Tq, wh, ww, ch)
         out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-        out = out.reshape(B, T, new_h, new_w, C)
+        out = out.reshape(B, Tq, new_h, new_w, C)
         if pad_b or pad_r:
             out = out[:, :, :H, :W]
         return nn.Dense(C, name="proj")(out)
@@ -606,14 +622,21 @@ class TemporalSparseTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, fold_x_size, mask, frame_select,
-                 masked_windows=None):
+                 masked_windows=None, out_frames: int | None = None):
+        """out_frames: emit only the first out_frames frames (queries, MLP
+        and residuals shrink with it; keys still span all frames) — exact
+        for the kept frames. Used on the last block at inference."""
         B, T, H, W, C = x.shape
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         att = SparseWindowAttention(
             self.dim, self.n_head, self.window_size, self.pool_size,
             self.attention_impl, name="attention")(x, mask, frame_select,
-                                                   masked_windows)
+                                                   masked_windows,
+                                                   q_frames=out_frames)
+        if out_frames is not None:
+            shortcut = shortcut[:, :out_frames]
+            T = out_frames
         x = shortcut + att
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         mlp = FusionFeedForward(self.dim, name="mlp")(
@@ -634,7 +657,11 @@ class TemporalSparseTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2,
-                 frame_valid=None, masked_windows=None):
+                 frame_valid=None, masked_windows=None,
+                 out_frames: int | None = None):
+        """out_frames: the LAST block emits only the first out_frames
+        frames (its other rows feed nothing downstream at inference —
+        SoftComp folds [:l_t] only). Exact for the kept frames."""
         assert self.depths % t_dilation == 0
         T = x.shape[1]
         for i in range(self.depths):
@@ -647,7 +674,9 @@ class TemporalSparseTransformerBlock(nn.Module):
                 self.dim, self.n_head, self.window_size, self.pool_size,
                 self.attention_impl, name=f"transformer_{i}")(
                     x, fold_x_size, l_mask, (static_sel, frame_valid),
-                    masked_windows)
+                    masked_windows,
+                    out_frames=(out_frames if i == self.depths - 1
+                                else None))
         return x
 
 
@@ -876,7 +905,7 @@ class InpaintGenerator(nn.Module):
                  masks_updated, num_local_frames: int, train: bool = False,
                  t_dilation: int = 2, frame_valid=None,
                  precomputed_enc_feat=None, precomputed_ref_feat=None,
-                 masked_windows=None):
+                 precomputed_ref_tokens=None, masked_windows=None):
         """
         Args:
           masked_frames: (B, T, H, W, 3) in [-1, 1] (holes already updated by
@@ -965,8 +994,21 @@ class InpaintGenerator(nn.Module):
                 local_feat, ds_flows_f, ds_flows_b, prop_mask_in)
         enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
 
-        trans_feat = SoftSplit(self.hidden, name="ss")(
-            enc_feat.reshape(-1, h, w, c), B, fold_feat_size)
+        if precomputed_ref_tokens is not None:
+            # SoftSplit is per-frame: the pipeline tokenizes the encoded
+            # reference-frame union ONCE per video and gathers per window
+            # (the same ~8 ref frames repeat in every sliding window);
+            # only the l_t local frames are tokenized here. Identical
+            # numerics — the tokenizer is one strided conv per frame.
+            assert not train
+            local_tokens = SoftSplit(self.hidden, name="ss")(
+                enc_feat[:, :l_t].reshape(-1, h, w, c), B, fold_feat_size)
+            trans_feat = jnp.concatenate(
+                [local_tokens,
+                 precomputed_ref_tokens.astype(local_tokens.dtype)], axis=1)
+        else:
+            trans_feat = SoftSplit(self.hidden, name="ss")(
+                enc_feat.reshape(-1, h, w, c), B, fold_feat_size)
         # the flash kernel is inference-only (no VJP); under train fall back
         # to the dense xla formulation instead of failing deep inside pallas
         attn_impl = ("xla" if train and self.attention_impl == "flash"
@@ -975,18 +1017,25 @@ class InpaintGenerator(nn.Module):
             self.hidden, self.num_heads, self.window_size, self.pool_size,
             self.depths, attn_impl, name="transformers")(
                 trans_feat, fold_feat_size, mask_pool_l, t_dilation,
-                frame_valid, masked_windows)
+                frame_valid, masked_windows,
+                out_frames=(None if train or attn_impl == "pallas"
+                            else l_t))
+        # eval decodes only the l_t local frames — fold (SoftComp) and the
+        # residual add for the T - l_t reference rows are dead work there
+        # (reference model/propainter.py:365-369 also slices [:l_t], but
+        # after folding everything)
+        t_fold = T if train else l_t
         trans_feat = SoftComp(self.channel, name="sc")(
-            trans_feat, T, fold_feat_size)
-        trans_feat = trans_feat.reshape(B, T, h, w, c)
+            trans_feat[:, :t_fold], t_fold, fold_feat_size)
+        trans_feat = trans_feat.reshape(B, t_fold, h, w, c)
 
-        enc_feat = enc_feat + trans_feat
+        enc_feat = enc_feat[:, :t_fold] + trans_feat
 
         if train:
             dec_in = enc_feat.reshape(B * T, h, w, c)
             t_out = T
         else:
-            dec_in = enc_feat[:, :l_t].reshape(B * l_t, h, w, c)
+            dec_in = enc_feat.reshape(B * l_t, h, w, c)
             t_out = l_t
 
         x = leaky_relu(_Deconv(128, name="decoder_0")(dec_in), 0.2)

@@ -151,7 +151,16 @@ class FlowHead(nn.Module):
 
 
 class BasicUpdateBlock(nn.Module):
-    """Reference RAFT/update.py:114-136."""
+    """Reference RAFT/update.py:114-136.
+
+    with_mask=False skips the convex-upsample mask head (mask_0/mask_2 —
+    ~25% of the update block's conv FLOPs): the reference computes it every
+    iteration, but only the FINAL iteration's mask is ever used at inference
+    (RAFT/raft.py:134-143 test_mode), and it depends only on the final
+    `net` — RAFT.refine applies the same head once after the scan, which is
+    numerically identical."""
+
+    with_mask: bool = True
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, *, pyramid=None, coords=None):
@@ -160,6 +169,8 @@ class BasicUpdateBlock(nn.Module):
         gru_in = jnp.concatenate([inp, motion], -1)
         net = SepConvGRU(name="gru")(net, gru_in)
         delta_flow = FlowHead(name="flow_head")(net)
+        if not self.with_mask:
+            return net, None, delta_flow
         m = jax.nn.relu(conv2d(256, 3, 1, 1, name="mask_0")(net))
         up_mask = 0.25 * conv2d(64 * 9, 1, 1, 0, name="mask_2")(m)
         return net, up_mask, delta_flow
@@ -172,27 +183,29 @@ class _UpdateStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        net, coords1, up_mask, inp, coords0, pyramid = carry
+        net, coords1, inp, coords0, pyramid = carry
         # Windowed radius-4 lookup, gather-free (reference RAFT/corr.py:29-49
         # semantics). On TPU: pallas kernel over the pixel-laned (transposed)
         # pyramid — 2.5x the MXU-matmul form, which pays for its (N, n, Hc)
         # interpolation matrices every iteration. CPU keeps the matmul form.
+        # The upsample-mask head runs ONCE after the scan (see
+        # BasicUpdateBlock.with_mask), not in every step.
         flow = coords1 - coords0
         if jax.default_backend() != "cpu" and self.corr_layout == "flat":
             # flat layout: the lookup runs inside the motion encoder with
             # convc1+relu fused into the kernel epilogue
-            net, up_mask, delta_flow = BasicUpdateBlock(
-                name="update_block")(net, inp, None, flow,
-                                     pyramid=pyramid, coords=coords1)
+            net, _, delta_flow = BasicUpdateBlock(
+                with_mask=False, name="update_block")(
+                    net, inp, None, flow, pyramid=pyramid, coords=coords1)
         else:
             if jax.default_backend() == "cpu":
                 corr = corr_lookup_mxu(list(pyramid), coords1, radius=4)
             else:
                 corr = corr_lookup_fused(list(pyramid), coords1, radius=4)
-            net, up_mask, delta_flow = BasicUpdateBlock(name="update_block")(
-                net, inp, corr, flow)
+            net, _, delta_flow = BasicUpdateBlock(
+                with_mask=False, name="update_block")(net, inp, corr, flow)
         coords1 = coords1 + delta_flow
-        return (net, coords1, up_mask, inp, coords0, pyramid), None
+        return (net, coords1, inp, coords0, pyramid), None
 
 
 def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -248,6 +261,11 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             in_axes=0, out_axes=0,
         )(corr_layout=self.corr_layout)
+        # convex-upsample mask head, applied once to the FINAL net (the
+        # in-scan per-iteration computation is dead work at inference);
+        # param paths stay update_block-relative via the converter rename
+        self.mask_0 = conv2d(256, 3, 1, 1, name="mask_0")
+        self.mask_2 = conv2d(64 * 9, 1, 1, 0, name="mask_2")
 
     def encode(self, images):
         """Per-frame features: (N, H, W, 3) -> (fmap, net, inp).
@@ -282,11 +300,15 @@ class RAFT(nn.Module):
         B, H8, W8, _ = net.shape
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)
-        up_mask0 = jnp.zeros((B, H8, W8, 64 * 9), jnp.float32)
 
-        (net, coords1, up_mask, _, _, _), _ = self.scanned(
-            (net, coords1, up_mask0, inp, coords0, pyramid),
+        (net, coords1, _, _, _), _ = self.scanned(
+            (net, coords1, inp, coords0, pyramid),
             jnp.zeros((iters,), jnp.int32))
+
+        # convex-upsample mask from the FINAL net only (identical to the
+        # reference's last-iteration mask; the per-iteration computation is
+        # dead work at inference — see BasicUpdateBlock.with_mask)
+        up_mask = 0.25 * self.mask_2(jax.nn.relu(self.mask_0(net)))
 
         flow_low = coords1 - coords0
         flow_up = upsample_flow_convex(flow_low, up_mask)
@@ -307,7 +329,13 @@ def convert_raft_state_dict(sd) -> dict:
 
     return convert_state_dict(
         sd,
-        rename=[(r"^update_block\.", "scanned.update_block.")],
+        rename=[
+            # the convex-upsample mask head lives on RAFT itself (applied
+            # once after the scan), not inside the scanned update block
+            (r"^update_block\.mask\.0\.", "mask_0."),
+            (r"^update_block\.mask\.2\.", "mask_2."),
+            (r"^update_block\.", "scanned.update_block."),
+        ],
         # ResidualBlock.norm3 is also registered as downsample.1 — keep the
         # downsample copy, drop the duplicate attribute keys.
         skip=[r"\.norm3\."],

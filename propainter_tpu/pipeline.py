@@ -34,7 +34,7 @@ from propainter_tpu.models.flow_completion import (
     combine_flow,
 )
 from propainter_tpu.models.propainter import (
-    Encoder, InpaintGenerator, image_propagation)
+    Encoder, InpaintGenerator, SoftSplit, image_propagation)
 
 
 def get_short_clip_len(width: int) -> int:
@@ -259,6 +259,7 @@ class ProPainterPipeline:
             donate_argnums=(1, 2))
         self._encode_all = jax.jit(self._encode_all_fn)
         self._window_occ = jax.jit(self._window_occ_fn)
+        self._ss_tokens = jax.jit(self._ss_tokens_fn)
 
     # ---- stage fns -------------------------------------------------------
 
@@ -357,6 +358,15 @@ class ProPainterPipeline:
                                enc_in.reshape(B * T, H, W, 5))
         return feat.reshape((B, T) + feat.shape[1:])
 
+    def _ss_tokens_fn(self, inpaint_params, feat):
+        """SoftSplit tokens for per-frame features (n, h, w, c) ->
+        (n, fh, fw, hidden). The tokenizer is one strided conv per frame, so
+        tokens for the reference-frame union can be computed once per video
+        and gathered per window (like their encoder features)."""
+        n, h, w, _ = feat.shape
+        return SoftSplit(self.inpaint.hidden).apply(
+            {"params": inpaint_params["ss"]}, feat, n, (h, w))[:, 0]
+
     def _window_occ_fn(self, masks_dilated, nb):
         """Per-window masked-window bitmaps for stage-4 branch-A bucketing.
         masks_dilated (B, T, H, W, 1); nb (n_windows, l_t) neighbor ids.
@@ -368,7 +378,7 @@ class ProPainterPipeline:
     def _generate_group_fn(self, inpaint_params, comp, visited,
                            updated_frames, flows_f, flows_b, masks_dilated,
                            updated_masks, ori, nb, rp, fv, w, mi, mv,
-                           ref_feat_all, seed_ids, l_t: int,
+                           ref_feat_all, ref_tok_all, seed_ids, l_t: int,
                            stride: int | None = None):
         """All same-shape sliding windows of one group in ONE executable:
         lax.scan over window batches; each step runs the generator on a
@@ -421,6 +431,7 @@ class ProPainterPipeline:
             sel_ff = ff[nb_i[:, :-1]]
             sel_fb = fb[nb_i[:, :-1]]
             ref_feat = ref_feat_all[rp_i]
+            ref_tok = ref_tok_all[rp_i]
             if self._batch_sharding is not None:
                 # windows are independent: shard the window-batch axis
                 wsc = lambda x: jax.lax.with_sharding_constraint(
@@ -440,12 +451,14 @@ class ProPainterPipeline:
                     {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
                     sel_masks, sel_upd, l_t,
                     frame_valid=fv_i, precomputed_enc_feat=enc_feat,
+                    precomputed_ref_tokens=ref_tok,
                     masked_windows=((mi_i, mv_i) if use_mw else None))
             else:
                 pred = self.inpaint.apply(
                     {"params": inpaint_params}, sel_imgs, (sel_ff, sel_fb),
                     sel_masks, sel_upd, l_t,
                     frame_valid=fv_i, precomputed_ref_feat=ref_feat,
+                    precomputed_ref_tokens=ref_tok,
                     masked_windows=((mi_i, mv_i) if use_mw else None))
             # (pred+1)/2*255 in the reference's operation order, then the
             # uint8 truncation (floor: values are non-negative)
@@ -680,6 +693,9 @@ class ProPainterPipeline:
         ref_feat_all = self._encode_all(
             self._inpaint_params_c, updated_frames[:, ru],
             masks_dilated[:, ru], updated_masks[:, ru])[0]
+        # tokenize the ref union once too: SoftSplit is per-frame, and the
+        # same ref frames repeat in every window's transformer input
+        ref_tok_all = self._ss_tokens(self._inpaint_params_c, ref_feat_all)
 
         windows = []  # (neighbor_ids, ref_pos, frame_valid)
         for neighbor_ids, ref_ids in window_specs:
@@ -791,8 +807,8 @@ class ProPainterPipeline:
                     self._inpaint_params_c, comp, visited,
                     updated_frames, flows_f, flows_b, masks_dilated,
                     updated_masks, ori, stacks[0], stacks[1], stacks[2],
-                    stacks[3], mi, mv, ref_feat_all, seed_ids, l_t=l_t,
-                    stride=stride)
+                    stacks[3], mi, mv, ref_feat_all, ref_tok_all, seed_ids,
+                    l_t=l_t, stride=stride)
 
         return comp.astype(jnp.uint8)
 

@@ -89,6 +89,18 @@ class TestResize:
         np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("align", [True, False])
+    @pytest.mark.parametrize("size", [(24, 32), (5, 7), (13, 9)])
+    def test_bilinear_mxu(self, rng, align, size):
+        # matmul-form bilinear (decoder/flowcomp hot path on TPU)
+        x = _rand(rng, 2, 12, 16, 3)
+        ours = resize(jnp.asarray(x), size, "bilinear", align_corners=align,
+                      impl="mxu")
+        theirs = F.interpolate(to_nchw(x), size=size, mode="bilinear",
+                               align_corners=align)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5)
+
     @pytest.mark.parametrize("size", [(3, 4), (24, 32), (7, 5)])
     def test_nearest(self, rng, size):
         x = _rand(rng, 2, 12, 16, 3)
