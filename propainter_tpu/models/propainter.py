@@ -41,7 +41,8 @@ from propainter_tpu.ops.interp import resize, max_pool2d
 from propainter_tpu.ops.patches import (
     unfold_output_size, fold_dense_conv, coverage_count)
 from propainter_tpu.ops.warp import (
-    flow_warp, fb_consistency_check, fb_consistency_from_warped)
+    flow_warp, flow_warp_bilinear_nearest, fb_consistency_check,
+    fb_consistency_from_warped)
 
 
 # ---------------------------------------------------------------------------
@@ -726,19 +727,22 @@ def image_propagation(x, flows_forward, flows_backward, mask,
         def step(carry, xs):
             i, feat_prop, mask_prop = carry
             feat_current, mask_current, flow_prop, flow_check = xs
-            # all three warps share the same grid (flow_prop): batch the
-            # bilinear ones into ONE gather (gathers dominate warp cost)
-            bundle = [flow_check, mask_prop]
+            # all three warps share the same grid (flow_prop): ONE 4-corner
+            # gather serves both the bilinear channels (flow_check,
+            # mask_prop) and the nearest-mode feature warp (the rounded
+            # sample is always one of the bilinear corners —
+            # ops/warp.flow_warp_bilinear_nearest, bit-identical)
+            bundle = jnp.concatenate([flow_check, mask_prop], axis=-1)
             if interpolation == "bilinear":
-                bundle.append(feat_prop)
-            warped = flow_warp(jnp.concatenate(bundle, axis=-1), flow_prop)
+                warped = flow_warp(
+                    jnp.concatenate([bundle, feat_prop], axis=-1), flow_prop)
+                feat_warped = warped[..., 3:]
+            else:
+                warped, feat_warped = flow_warp_bilinear_nearest(
+                    bundle, feat_prop, flow_prop)
             flow_valid = fb_consistency_from_warped(flow_prop,
                                                     warped[..., :2])
             mask_prop_valid = binary_mask(warped[..., 2:3])
-            if interpolation == "bilinear":
-                feat_warped = warped[..., 3:]
-            else:
-                feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
 
             union = binary_mask(
                 mask_current * flow_valid * (1 - mask_prop_valid))

@@ -145,6 +145,84 @@ def flow_warp(
     )
 
 
+def flow_warp_bilinear_nearest(
+    xb: jnp.ndarray,
+    xn: jnp.ndarray,
+    flow: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp `xb` bilinearly and `xn` nearest by the SAME flow with ONE
+    4-corner gather (zeros padding, align_corners=True — the
+    `flow_warp` semantics both warps use in image propagation).
+
+    The nearest sample floor(x+0.5) is always one of the two bilinear
+    x-corners (x0 if frac < 0.5 else x0+1, and identically for y), so the
+    nearest result is a per-pixel SELECT over the corners already gathered
+    for the bilinear result — bit-identical to
+    `flow_warp(xn, flow, "nearest")`, including the out-of-bounds zeroing
+    (the selected corner's validity is exactly the rounded index's
+    validity). Saves one full gather per propagation step (gathers dominate
+    warp cost on TPU; reference semantics
+    model/modules/flow_loss_utils.py:6-45 + grid_sample mode='nearest').
+
+    Args:
+      xb: (B, H, W, Cb) bilinear-warped channels.
+      xn: (B, H, W, Cn) nearest-warped channels.
+      flow: (B, H, W, 2) pixel offsets (dx, dy).
+    Returns:
+      (warped_xb (B, H, W, Cb), warped_xn (B, H, W, Cn)).
+    """
+    B, H, W, Cb = xb.shape
+    img = jnp.concatenate([xb, xn], axis=-1)
+    gx = jnp.arange(W, dtype=flow.dtype)
+    gy = jnp.arange(H, dtype=flow.dtype)
+    # identical coordinate math to flow_warp -> grid_sample (normalize to
+    # [-1, 1], then unnormalize) so results are bit-identical
+    grid_x = jnp.broadcast_to(gx[None, None, :], (B, H, W)) + flow[..., 0]
+    grid_y = jnp.broadcast_to(gy[None, :, None], (B, H, W)) + flow[..., 1]
+    nx = 2.0 * grid_x / max(W - 1, 1) - 1.0
+    ny = 2.0 * grid_y / max(H - 1, 1) - 1.0
+    x = _unnormalize(nx, W, True)
+    y = _unnormalize(ny, H, True)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(img.dtype)
+    fy = (y - y0).astype(img.dtype)
+    # the exact nearest-mode rounding (floor(x+0.5) in fp, which lands on x0
+    # or x0+1 — see grid_sample) so the select is bit-identical even when
+    # x+0.5 rounds across the integer boundary (fx>=0.5 alone is not)
+    sel_x = jnp.floor(x + 0.5) > x0
+    sel_y = jnp.floor(y + 0.5) > y0
+
+    def corner(yc, xc):
+        valid = ((xc >= 0) & (xc <= W - 1) & (yc >= 0)
+                 & (yc <= H - 1)).astype(img.dtype)
+        yi = jnp.clip(yc.astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(xc.astype(jnp.int32), 0, W - 1)
+        return _gather2d(img, yi, xi), valid[..., None]
+
+    g00, v00 = corner(y0, x0)
+    g01, v01 = corner(y0, x0 + 1.0)
+    g10, v10 = corner(y0 + 1.0, x0)
+    g11, v11 = corner(y0 + 1.0, x0 + 1.0)
+
+    wx1 = fx[..., None]
+    wy1 = fy[..., None]
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    out_b = (g00[..., :Cb] * (wy0 * wx0 * v00)
+             + g01[..., :Cb] * (wy0 * wx1 * v01)
+             + g10[..., :Cb] * (wy1 * wx0 * v10)
+             + g11[..., :Cb] * (wy1 * wx1 * v11))
+
+    sx = sel_x[..., None]
+    sy = sel_y[..., None]
+    n0 = jnp.where(sx, g01[..., Cb:] * v01, g00[..., Cb:] * v00)
+    n1 = jnp.where(sx, g11[..., Cb:] * v11, g10[..., Cb:] * v10)
+    out_n = jnp.where(sy, n1, n0)
+    return out_b, out_n
+
+
 def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample with *pixel* coordinates (RAFT convention).
 

@@ -64,6 +64,25 @@ class TestGridSample:
         np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_flow_warp_bilinear_nearest_fused(self, rng):
+        # fused single-gather warp == two independent flow_warp calls,
+        # bit-exact, including out-of-bounds zeroing and .5-fraction flows
+        from propainter_tpu.ops.warp import flow_warp_bilinear_nearest
+        B, H, W = 2, 12, 16
+        xb = _rand(rng, B, H, W, 3)
+        xn = _rand(rng, B, H, W, 4)
+        flow = 5.0 * _rand(rng, B, H, W, 2)
+        # force a block of exact .5 fractional offsets (rounding boundary)
+        flow[0, :4, :4] = np.float32(2.5)
+        # and far out-of-bounds samples (zero padding path)
+        flow[1, -3:, -3:] = np.float32(100.0)
+        out_b, out_n = flow_warp_bilinear_nearest(
+            jnp.asarray(xb), jnp.asarray(xn), jnp.asarray(flow))
+        ref_b = flow_warp(jnp.asarray(xb), jnp.asarray(flow), "bilinear")
+        ref_n = flow_warp(jnp.asarray(xn), jnp.asarray(flow), "nearest")
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
+        np.testing.assert_array_equal(np.asarray(out_n), np.asarray(ref_n))
+
     def test_coords_grid(self):
         g = np.asarray(coords_grid(2, 3, 4))
         assert g.shape == (2, 3, 4, 2)
