@@ -41,8 +41,8 @@ from propainter_tpu.ops.interp import resize, max_pool2d
 from propainter_tpu.ops.patches import (
     unfold_output_size, fold_dense_conv, coverage_count)
 from propainter_tpu.ops.warp import (
-    flow_warp, flow_warp_bilinear_nearest, fb_consistency_check,
-    fb_consistency_from_warped)
+    flow_warp, flow_warp_bilinear_nearest, flow_warp_packed,
+    fb_consistency_check, fb_consistency_from_warped)
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +710,8 @@ def _propagation_inputs(flows_for_prop, flows_for_check, reverse: bool):
 
 
 def image_propagation(x, flows_forward, flows_backward, mask,
-                      interpolation="nearest", unroll: int = 1):
+                      interpolation="nearest", unroll: int = 1,
+                      warp_impl: str = "packed"):
     """Non-learnable pixel propagation with fb-consistency gating.
     Reference model/propainter.py:104-190 (learnable=False branch).
 
@@ -718,6 +719,13 @@ def image_propagation(x, flows_forward, flows_backward, mask,
       x:     (B, T, H, W, 3) masked frames.
       flows_forward/backward: (B, T-1, H, W, 2).
       mask:  (B, T, H, W, 1) dilated masks (1 = hole).
+      warp_impl: 'packed' (default) = ONE gather per step over
+        channel-packed 2x2 neighborhoods (ops/warp.flow_warp_packed, 2.4x
+        the 4-gather form at the bench shape — tools/imgprop_ab.py);
+        'fused' = one 4-corner gather. Bit-identical on CPU; on TPU the
+        recompiled bf16 coordinate math may flip the nearest-corner select
+        where a coordinate sits within 1 ulp of the .5 boundary (~0.1% of
+        pixels at the bench shape) — both corners are equally valid there.
     Returns:
       (prop_frames (B, T, H, W, 3), updated_masks (B, T, H, W, 1)).
     """
@@ -727,16 +735,24 @@ def image_propagation(x, flows_forward, flows_backward, mask,
         def step(carry, xs):
             i, feat_prop, mask_prop = carry
             feat_current, mask_current, flow_prop, flow_check = xs
-            # all three warps share the same grid (flow_prop): ONE 4-corner
-            # gather serves both the bilinear channels (flow_check,
-            # mask_prop) and the nearest-mode feature warp (the rounded
-            # sample is always one of the bilinear corners —
-            # ops/warp.flow_warp_bilinear_nearest, bit-identical)
+            # all three warps share the same grid (flow_prop): ONE gather
+            # serves both the bilinear channels (flow_check, mask_prop) and
+            # the nearest-mode feature warp (the rounded sample is always
+            # one of the bilinear corners — ops/warp, bit-identical)
             bundle = jnp.concatenate([flow_check, mask_prop], axis=-1)
             if interpolation == "bilinear":
-                warped = flow_warp(
-                    jnp.concatenate([bundle, feat_prop], axis=-1), flow_prop)
+                if warp_impl == "packed":
+                    warped, _ = flow_warp_packed(
+                        jnp.concatenate([bundle, feat_prop], axis=-1), None,
+                        flow_prop)
+                else:
+                    warped = flow_warp(
+                        jnp.concatenate([bundle, feat_prop], axis=-1),
+                        flow_prop)
                 feat_warped = warped[..., 3:]
+            elif warp_impl == "packed":
+                warped, feat_warped = flow_warp_packed(
+                    bundle, feat_prop, flow_prop)
             else:
                 warped, feat_warped = flow_warp_bilinear_nearest(
                     bundle, feat_prop, flow_prop)

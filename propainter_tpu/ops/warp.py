@@ -223,6 +223,93 @@ def flow_warp_bilinear_nearest(
     return out_b, out_n
 
 
+def flow_warp_packed(
+    xb: jnp.ndarray,
+    xn: jnp.ndarray | None,
+    flow: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """`flow_warp_bilinear_nearest` with the four corner fetches packed into
+    ONE gather.
+
+    The 2x2 neighborhood of every top-left corner is pre-packed into the
+    channel axis of a (H+1, W+1) extended image (row/col i holds corner
+    y0/x0 = i-1, zeros outside the source), so the per-pixel fetch is one
+    row of 4C channels instead of four rows of C — gather cost on TPU is
+    per-row dominated, so this quarters the dominant term of a dense warp.
+    Packing itself is four static pad+shift copies (VPU, fusable).
+
+    Semantics are identical to `flow_warp(xb, flow)` /
+    `flow_warp(xn, flow, "nearest")` (zeros padding, align_corners=True):
+    out-of-range corners are zeroed by the per-corner validity factors
+    computed from the true (unclipped) coordinates, and the nearest select
+    uses the exact fp rounding floor(x+0.5).
+
+    Args:
+      xb: (B, H, W, Cb) bilinear-warped channels.
+      xn: (B, H, W, Cn) nearest-warped channels, or None.
+      flow: (B, H, W, 2) pixel offsets (dx, dy).
+    Returns:
+      (warped_xb, warped_xn or None).
+    """
+    B, H, W, Cb = xb.shape
+    img = xb if xn is None else jnp.concatenate([xb, xn], axis=-1)
+    C = img.shape[-1]
+    # packed extended image: packed[i, j] holds the 2x2 block at
+    # (y0, x0) = (i-1, j-1); zeros where the block leaves the source
+    ext = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate([
+        ext[:, :-1, :-1], ext[:, :-1, 1:],
+        ext[:, 1:, :-1], ext[:, 1:, 1:],
+    ], axis=-1)  # (B, H+1, W+1, 4C): [g00, g01, g10, g11]
+
+    # identical coordinate math to flow_warp -> grid_sample (normalize to
+    # [-1, 1], then unnormalize) so results are bit-identical
+    gx = jnp.arange(W, dtype=flow.dtype)
+    gy = jnp.arange(H, dtype=flow.dtype)
+    grid_x = jnp.broadcast_to(gx[None, None, :], (B, H, W)) + flow[..., 0]
+    grid_y = jnp.broadcast_to(gy[None, :, None], (B, H, W)) + flow[..., 1]
+    nx = 2.0 * grid_x / max(W - 1, 1) - 1.0
+    ny = 2.0 * grid_y / max(H - 1, 1) - 1.0
+    x = _unnormalize(nx, W, True)
+    y = _unnormalize(ny, H, True)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    g = _gather2d(packed, yi, xi)  # (B, H, W, 4C)
+
+    def valid(yc, xc):
+        return ((xc >= 0) & (xc <= W - 1) & (yc >= 0)
+                & (yc <= H - 1)).astype(img.dtype)[..., None]
+
+    v00 = valid(y0, x0)
+    v01 = valid(y0, x0 + 1.0)
+    v10 = valid(y0 + 1.0, x0)
+    v11 = valid(y0 + 1.0, x0 + 1.0)
+    g00, g01, g10, g11 = (g[..., :C], g[..., C:2 * C],
+                          g[..., 2 * C:3 * C], g[..., 3 * C:])
+
+    wx1 = (x - x0).astype(img.dtype)[..., None]
+    wy1 = (y - y0).astype(img.dtype)[..., None]
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    out_b = (g00[..., :Cb] * (wy0 * wx0 * v00)
+             + g01[..., :Cb] * (wy0 * wx1 * v01)
+             + g10[..., :Cb] * (wy1 * wx0 * v10)
+             + g11[..., :Cb] * (wy1 * wx1 * v11))
+    if xn is None:
+        return out_b, None
+
+    # exact nearest-mode rounding (see flow_warp_bilinear_nearest)
+    sx = (jnp.floor(x + 0.5) > x0)[..., None]
+    sy = (jnp.floor(y + 0.5) > y0)[..., None]
+    n0 = jnp.where(sx, g01[..., Cb:] * v01, g00[..., Cb:] * v00)
+    n1 = jnp.where(sx, g11[..., Cb:] * v11, g10[..., Cb:] * v10)
+    out_n = jnp.where(sy, n1, n0)
+    return out_b, out_n
+
+
 def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample with *pixel* coordinates (RAFT convention).
 

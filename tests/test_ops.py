@@ -83,6 +83,30 @@ class TestGridSample:
         np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
         np.testing.assert_array_equal(np.asarray(out_n), np.asarray(ref_n))
 
+    def test_flow_warp_packed(self, rng):
+        # channel-packed single-gather warp == two independent flow_warp
+        # calls, bit-exact on CPU, including out-of-bounds zeroing,
+        # .5-fraction flows, and the edge rows/cols of the extended image
+        from propainter_tpu.ops.warp import flow_warp_packed
+        B, H, W = 2, 12, 16
+        xb = _rand(rng, B, H, W, 3)
+        xn = _rand(rng, B, H, W, 4)
+        flow = 5.0 * _rand(rng, B, H, W, 2)
+        flow[0, :4, :4] = np.float32(2.5)          # rounding boundary
+        flow[1, -3:, -3:] = np.float32(100.0)      # far out of bounds
+        flow[0, -1, :] = np.float32(-0.5)          # corners straddling edges
+        out_b, out_n = flow_warp_packed(
+            jnp.asarray(xb), jnp.asarray(xn), jnp.asarray(flow))
+        ref_b = flow_warp(jnp.asarray(xb), jnp.asarray(flow), "bilinear")
+        ref_n = flow_warp(jnp.asarray(xn), jnp.asarray(flow), "nearest")
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(ref_b))
+        np.testing.assert_array_equal(np.asarray(out_n), np.asarray(ref_n))
+        # bilinear-only form (xn=None) used for interpolation='bilinear'
+        out_b2, none = flow_warp_packed(jnp.asarray(xb), None,
+                                        jnp.asarray(flow))
+        assert none is None
+        np.testing.assert_array_equal(np.asarray(out_b2), np.asarray(ref_b))
+
     def test_coords_grid(self):
         g = np.asarray(coords_grid(2, 3, 4))
         assert g.shape == (2, 3, 4, 2)
