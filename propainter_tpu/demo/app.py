@@ -5,10 +5,13 @@
   2. click the template frame to segment (positive/negative points, painted
      preview with click dots), accumulate MULTIPLE masks with Add mask /
      Remove mask and a selection dropdown (app.py:166-201);
-  3. track the selected masks through the video and inpaint, with sliders
-     for resize ratio / dilate radius / raft iters / subvideo length /
-     neighbor length / ref stride (the reference's inpaint_video controls,
-     app.py:264-296) and an optional tracking end frame.
+  3. TWO separate actions like the reference: Track renders a painted
+     tracked-mask preview video to inspect (vos_tracking_video,
+     app.py:203-262), then Inpaint runs ProPainter on the stored masks
+     (inpaint_video, app.py:264-296) with sliders for resize ratio /
+     dilate radius / raft iters / subvideo length / neighbor length /
+     ref stride and an optional tracking end frame. A bad track can be
+     redone without paying for an inpaint.
 
 Requires `gradio` (not bundled in the TPU image); the module degrades to a
 clear error message so the rest of the package never depends on it. All
@@ -24,7 +27,7 @@ import argparse
 
 import numpy as np
 
-from propainter_tpu.demo.multimask import MultiMaskSession
+from propainter_tpu.demo.session import TwoStepSession
 
 
 def build_app(facade):
@@ -32,7 +35,8 @@ def build_app(facade):
 
     state = {"frames": [], "points": [], "labels": [], "mask": None,
              "select_frame": 0, "fps": 24, "track_end": None}
-    multi = MultiMaskSession()
+    session = TwoStepSession(facade)
+    multi = session.multi
 
     def extract_frames(video_path):
         from propainter_tpu.utils.video import read_frames
@@ -42,7 +46,7 @@ def build_app(facade):
         state["fps"] = fps or 24
         state["points"], state["labels"] = [], []
         state["select_frame"] = 0
-        multi.remove_all()
+        session.reset(state["frames"])
         n = len(state["frames"])
         return (state["frames"][0], f"{n} frames @ {fps} fps",
                 gr.update(maximum=n - 1, value=0),
@@ -99,29 +103,40 @@ def build_app(facade):
         return multi.show(state["frames"][state["select_frame"]].copy(),
                           list(mask_dropdown))
 
-    def track_and_inpaint(mask_dropdown, track_end, ratio, dilate, raft_iter,
-                          subvideo, neighbor, ref_stride):
-        # template composition (reference vos_tracking_video,
-        # app.py:210-230): selected masks -> id-labeled template
-        if multi.masks:
-            template = multi.template_mask(
-                list(mask_dropdown) or [multi.mask_names[0]])
-        else:
-            template = state["mask"]
-        start = state["select_frame"]
-        end = int(track_end) if track_end else len(state["frames"])
-        following = state["frames"][start:end]
-        masks, _, _ = facade.generator(following, template)
-        out = facade.inpaint(
-            np.stack(following), np.stack(masks), ratio=ratio,
-            dilate_radius=int(dilate), raft_iter=int(raft_iter),
-            subvideo_length=int(subvideo), neighbor_length=int(neighbor),
-            ref_stride=int(ref_stride))
+    def _write_video(frames_list, name):
         import imageio, tempfile, os
 
-        path = os.path.join(tempfile.mkdtemp(), "inpaint_out.mp4")
-        imageio.mimwrite(path, list(out), fps=state["fps"], quality=7)
+        path = os.path.join(tempfile.mkdtemp(), name)
+        imageio.mimwrite(path, list(frames_list), fps=state["fps"],
+                         quality=7)
         return path
+
+    def track(mask_dropdown, track_end):
+        # reference vos_tracking_video (app.py:203-262): render a painted
+        # tracked-mask preview the user inspects BEFORE inpainting
+        try:
+            painted = session.track(
+                list(mask_dropdown), state["select_frame"],
+                int(track_end) if track_end else None,
+                single_mask=state["mask"])
+        except ValueError as e:
+            return None, str(e)
+        return (_write_video(painted, "track_out.mp4"),
+                "Tracking finished — inspect the preview, then Inpaint.")
+
+    def inpaint(mask_dropdown, ratio, dilate, raft_iter,
+                subvideo, neighbor, ref_stride):
+        # reference inpaint_video (app.py:264-296): consumes the stored
+        # full-video masks, filtered to the selected ids
+        try:
+            out = session.inpaint(
+                list(mask_dropdown), ratio=ratio,
+                dilate_radius=int(dilate), raft_iter=int(raft_iter),
+                subvideo_length=int(subvideo),
+                neighbor_length=int(neighbor), ref_stride=int(ref_stride))
+        except ValueError as e:
+            return None, str(e)
+        return _write_video(out, "inpaint_out.mp4"), "Inpainting finished!"
 
     with gr.Blocks() as app:
         gr.Markdown("## ProPainter-TPU — interactive object removal")
@@ -147,8 +162,12 @@ def build_app(facade):
             subvideo = gr.Slider(10, 200, 80, step=1, label="subvideo length")
             neighbor = gr.Slider(2, 40, 10, step=1, label="neighbor length")
             ref_stride = gr.Slider(2, 40, 10, step=1, label="ref stride")
-        run_btn = gr.Button("Track & Inpaint")
-        video_out = gr.Video(label="inpainted")
+        with gr.Row():
+            track_btn = gr.Button("Track")
+            inpaint_btn = gr.Button("Inpaint")
+        with gr.Row():
+            track_out = gr.Video(label="tracked preview")
+            video_out = gr.Video(label="inpainted")
 
         video_in.upload(extract_frames, video_in,
                         [first_frame, status, frame_slider, track_end])
@@ -160,9 +179,12 @@ def build_app(facade):
         remove_mask_btn.click(remove_masks, None,
                               [mask_dropdown, first_frame, status])
         mask_dropdown.change(show_masks, mask_dropdown, first_frame)
-        run_btn.click(track_and_inpaint,
-                      [mask_dropdown, track_end, ratio, dilate, raft_iter,
-                       subvideo, neighbor, ref_stride], video_out)
+        track_btn.click(track, [mask_dropdown, track_end],
+                        [track_out, status])
+        inpaint_btn.click(inpaint,
+                          [mask_dropdown, ratio, dilate, raft_iter,
+                           subvideo, neighbor, ref_stride],
+                          [video_out, status])
     return app
 
 

@@ -223,3 +223,93 @@ def test_multimask_session_add_show_template():
     assert s.masks == [] and s.mask_names == []
     with pytest.raises(ValueError):
         s.template_mask(["mask_001"])
+
+
+class _RecordingFacade:
+    """Deterministic facade stub: the tracker labels every frame with the
+    template mask unchanged; painted frames are originals + 100."""
+
+    def __init__(self):
+        self.inpaint_calls = []
+
+    def generator(self, images, template_mask):
+        masks = [np.asarray(template_mask)] * len(images)
+        painted = [np.asarray(im) + 100 for im in images]
+        return masks, [None] * len(images), painted
+
+    def inpaint(self, frames, masks, **kw):
+        self.inpaint_calls.append((np.asarray(masks).copy(), kw))
+        return np.asarray(frames)
+
+
+def test_two_step_session_track_then_inpaint():
+    """Reference two-stage flow (app.py:203-296): Track stores full-video
+    masks + a painted preview; Inpaint consumes the FULL video and filters
+    mask ids by the current dropdown selection without re-tracking."""
+    from propainter_tpu.demo.session import TwoStepSession
+
+    H, W = 48, 64
+    frames = [np.full((H, W, 3), 10 * t, np.uint8) for t in range(6)]
+    m1 = np.zeros((H, W), np.uint8)
+    m1[5:15, 5:25] = 1
+    m2 = np.zeros((H, W), np.uint8)
+    m2[20:35, 30:50] = 1
+
+    facade = _RecordingFacade()
+    s = TwoStepSession(facade)
+    s.reset(frames)
+    s.multi.add_mask(m1)
+    s.multi.add_mask(m2)
+
+    # inpaint before track must refuse (the reference prompts the user)
+    with pytest.raises(ValueError):
+        s.inpaint(["mask_001"])
+
+    # track from frame 2 to 5 (exclusive): masks outside stay zero,
+    # painted preview keeps the original prefix/suffix (app.py:239-246)
+    painted = s.track(["mask_001", "mask_002"], select_frame=2, track_end=5)
+    assert len(painted) == 6
+    np.testing.assert_array_equal(painted[0], frames[0])
+    np.testing.assert_array_equal(painted[2], frames[2] + 100)
+    np.testing.assert_array_equal(painted[5], frames[5])
+    assert s.masks[0] is None and s.masks[2] is not None
+
+    # inpaint with only mask_002 selected: id 1 zeroed, id 2 kept
+    # (app.py:272-284); full video passed through
+    s.inpaint(["mask_002"], dilate_radius=3)
+    masks_sent, kw = facade.inpaint_calls[-1]
+    assert masks_sent.shape == (6, H, W)
+    assert set(np.unique(masks_sent[2])) == {0, 2}
+    assert masks_sent[0].max() == 0 and masks_sent[5].max() == 0
+    assert kw == {"dilate_radius": 3}
+
+    # different selection re-inpaints WITHOUT re-tracking
+    s.inpaint(["mask_001", "mask_002"])
+    masks_sent2, _ = facade.inpaint_calls[-1]
+    assert set(np.unique(masks_sent2[2])) == {0, 1, 2}
+
+    # empty selection falls back to mask_001 (app.py:213-214, 273-274)
+    s.inpaint([])
+    masks_sent3, _ = facade.inpaint_calls[-1]
+    assert set(np.unique(masks_sent3[2])) == {0, 1}
+
+
+def test_two_step_session_single_mask_fallback():
+    """No Added masks: track falls back to the click mask (the reference
+    uses video_state['masks'][select] when multi_mask is empty)."""
+    from propainter_tpu.demo.session import TwoStepSession
+
+    frames = [np.zeros((32, 40, 3), np.uint8) for _ in range(3)]
+    mask = np.zeros((32, 40), np.uint8)
+    mask[4:10, 4:10] = 1
+
+    facade = _RecordingFacade()
+    s = TwoStepSession(facade)
+    s.reset(frames)
+    with pytest.raises(ValueError):
+        s.track([], 0)  # no mask anywhere
+    s.track([], 0, single_mask=mask)
+    np.testing.assert_array_equal(s.masks[0], mask)
+    s.inpaint([])
+    masks_sent, _ = facade.inpaint_calls[-1]
+    np.testing.assert_array_equal(masks_sent[1], mask)
