@@ -827,6 +827,8 @@ class _FeatPropStep(nn.Module):
     """One scanned step of learnable feature propagation."""
 
     channel: int = 128
+    # 'packed' = channel-packed single-gather warp (see image_propagation)
+    warp_impl: str = "packed"
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -835,8 +837,11 @@ class _FeatPropStep(nn.Module):
         c = self.channel
 
         # fb-check warp + feature warp share the same grid: one gather
-        warped = flow_warp(
-            jnp.concatenate([flow_check, feat_prop], axis=-1), flow_prop)
+        bundle = jnp.concatenate([flow_check, feat_prop], axis=-1)
+        if self.warp_impl == "packed":
+            warped, _ = flow_warp_packed(bundle, None, flow_prop)
+        else:
+            warped = flow_warp(bundle, flow_prop)
         flow_valid = fb_consistency_from_warped(flow_prop, warped[..., :2])
         feat_warped = warped[..., 2:]
         cond = jnp.concatenate(
@@ -860,6 +865,7 @@ class FeaturePropagation(nn.Module):
     channel: int = 128
     # scan unroll factor (latency-bound per-step bodies; see PERF.md)
     unroll: int = 1
+    warp_impl: str = "packed"
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward, mask):
@@ -874,7 +880,7 @@ class FeaturePropagation(nn.Module):
                 split_rngs={"params": False},
                 in_axes=0, out_axes=0,
                 unroll=self.unroll,
-            )(c, name=name)
+            )(c, self.warp_impl, name=name)
             init = (jnp.int32(0), jnp.zeros((B, H, W, c), x.dtype))
             _, out = scan(init, (inputs, masks,
                                  jnp.moveaxis(fp, 1, 0), jnp.moveaxis(fc, 1, 0)))

@@ -154,3 +154,73 @@ def test_propainter_schema():
     # weight (sparse_transformer.py), dropped by design
     assert _count_leaves(params) == _count_expected_leaves(
         sd, skipped_patterns=[r"valid_ind_rolled"])
+
+
+def test_cutie_base_mega_schema():
+    """cutie-base-mega.pth: the released checkpoint is the state_dict of the
+    demo's CUTIE(config) (tracker/base_tracker.py:27-28 torch.load +
+    load_weights -> load_state_dict), so a state dict synthesized from the
+    vendored torch model under the demo config has the exact released key
+    layout. Every tensor must map (in_proj_weight/bias split 1 -> 3 q/k/v
+    leaves; pixel_mean/std + positional-encoding buffers + aux_computer are
+    documented non-param skips)."""
+    from propainter_tpu.models.cutie import (
+        CUTIE, CutieConfig, convert_cutie_state_dict)
+    from tests.torch_ref import import_cutie_module
+
+    cfg_mod = import_cutie_module("tracker.config")
+    import_cutie_module("tracker.model.cutie")
+    from omegaconf import OmegaConf  # fake, installed by import_cutie_module
+    from tracker.model.cutie import CUTIE as TorchCUTIE
+
+    torch.manual_seed(0)
+    net = TorchCUTIE(OmegaConf.create(cfg_mod.CONFIG))
+    sd = net.state_dict()
+
+    # spot-check well-known released keys across every submodule family
+    for key in [
+        "pixel_encoder.conv1.weight",
+        "pixel_encoder.layer3.5.bn2.running_var",
+        "pix_feat_proj.weight",
+        "key_proj.key_proj.weight",
+        "mask_encoder.conv1.weight",
+        "mask_encoder.fuser.block2.conv2.weight",
+        "mask_decoder.sensory_update.transform.weight",
+        "mask_decoder.up_16_8.out_conv.conv1.weight",
+        "mask_decoder.up_16_8.out_conv.downsample.weight",
+        "pixel_fuser.sensory_compress.weight",
+        "object_transformer.blocks.0.self_attn.self_attn.in_proj_weight",
+        "object_transformer.blocks.0.read_from_pixel.cross_attn.in_proj_weight",
+        "object_transformer.query_init.weight",
+        "object_summarizer.feature_pred.0.weight",
+    ]:
+        assert key in sd, key
+    # the multi-object released file has the 5-channel mask conv1
+    # (tracker/model/cutie.py:202-216 converts 4 -> 5; base-mega ships 5)
+    assert sd["mask_encoder.conv1.weight"].shape[1] == 5
+
+    params = convert_cutie_state_dict(sd)
+    model = CUTIE(CutieConfig())
+    H, W = 32, 32
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, H // 16, W // 16, 256)),
+        jnp.zeros((1, 1, H // 16, W // 16, 256)),
+        jnp.zeros((1, 1, H, W)),
+        method="init_all_params"))["params"]
+    assert_tree_shapes_match(params, ref)
+
+    # no checkpoint tensor silently dropped: each in_proj_{weight,bias}
+    # becomes 3 leaves; documented skips are non-parameters
+    import re
+
+    skips = [re.compile(p) for p in
+             (r"pixel_mean", r"pixel_std", r"aux_computer",
+              r"\.inv_freq$", r"cached_penc",
+              r"num_batches_tracked")]
+    expected = 0
+    for k in sd:
+        if any(r.search(k) for r in skips):
+            continue
+        expected += 3 if k.endswith((".in_proj_weight", ".in_proj_bias")) else 1
+    assert _count_leaves(params) == expected

@@ -119,13 +119,16 @@ def test_rel_pos_resize_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
-def test_vit_b_checkpoint_schema():
+@pytest.mark.parametrize("variant", ["vit_b", "vit_l", "vit_h"])
+def test_vit_checkpoint_schema(variant):
     """convert_sam_state_dict maps the released checkpoints' exact key
-    schema. Build a synthetic vit_b state dict from the torch mirror (same
-    module tree as segment_anything's build_sam.py vit_b) and shape-match
+    schema for every variant the reference demo downloads
+    (sam_vit_b_01ec64 / sam_vit_l_0b3195 / sam_vit_h_4b8939.pth,
+    weights/README.md). Build a synthetic state dict from the torch mirror
+    (same module tree as segment_anything's build_sam.py) and shape-match
     the conversion against the flax init — without running a 1024^2
     forward."""
-    cfg = SamConfig.vit_b()
+    cfg = getattr(SamConfig, variant)()
     net = torch_sam.Sam(cfg)
     sd = {k: v for k, v in net.state_dict().items()}
     # spot-check the schema contains the well-known released-checkpoint keys
@@ -148,8 +151,15 @@ def test_vit_b_checkpoint_schema():
         "mask_decoder.iou_prediction_head.layers.0.weight",
     ]:
         assert key in sd, key
-    assert sd["image_encoder.blocks.0.attn.rel_pos_h"].shape == (27, 64)
-    assert sd["image_encoder.blocks.2.attn.rel_pos_h"].shape == (127, 64)
+    # windowed blocks: (2*window_size - 1, head_dim); the first global
+    # block: (2*grid - 1, head_dim). head_dim = 64/64/80 for vit_b/l/h.
+    head_dim = cfg.embed_dim // cfg.num_heads
+    g0 = cfg.global_attn_indexes[0]
+    assert sd["image_encoder.blocks.0.attn.rel_pos_h"].shape == (27, head_dim)
+    assert sd[f"image_encoder.blocks.{g0}.attn.rel_pos_h"].shape == (
+        2 * cfg.grid - 1, head_dim)
+    assert len([k for k in sd if k.startswith("image_encoder.blocks.")
+                and k.endswith(".attn.qkv.weight")]) == cfg.depth
 
     params = convert_sam_state_dict(sd)
     g4 = 4 * cfg.grid
