@@ -106,8 +106,11 @@ class BasicMotionEncoder(nn.Module):
         if pyramid is not None:
             C = len(pyramid) * 81
             k, b = _ConvParams(C, 256, name="convc1")()
+            # the kernel epilogue accumulates in fp32; cast back to the
+            # network compute dtype (a no-op in the fp32 default)
             cor = corr_lookup_flat_moenc(
-                list(pyramid), coords, k.reshape(C, 256), b, radius=4)
+                list(pyramid), coords, k.reshape(C, 256), b,
+                radius=4).astype(flow.dtype)
         else:
             cor = jax.nn.relu(conv2d(256, 1, 1, 0, name="convc1")(corr))
         cor = jax.nn.relu(conv2d(192, 3, 1, 1, name="convc2")(cor))
@@ -190,7 +193,10 @@ class _UpdateStep(nn.Module):
         # interpolation matrices every iteration. CPU keeps the matmul form.
         # The upsample-mask head runs ONCE after the scan (see
         # BasicUpdateBlock.with_mask), not in every step.
-        flow = coords1 - coords0
+        # flow features in the network compute dtype (= the carry dtype:
+        # bf16 when the caller casts params+carries, fp32 otherwise); the
+        # coords carry itself stays fp32 so update accumulation is exact
+        flow = (coords1 - coords0).astype(net.dtype)
         if jax.default_backend() != "cpu" and self.corr_layout == "flat":
             # flat layout: the lookup runs inside the motion encoder with
             # convc1+relu fused into the kernel epilogue

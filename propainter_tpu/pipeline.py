@@ -195,6 +195,14 @@ class PipelineConfig:
     #   than 'xla' on v5e (one TensorCore: per-window grid programs
     #   serialize and under-fill the MXU); kept as an opt-in reference.
     attention_impl: str = "flash"
+    # bf16 pipeline only: run the RAFT GRU refinement's conv/GRU work in
+    # bf16 (fp32 coords carry, fp32 softmax-free math unaffected). The
+    # reference keeps RAFT fp32 even in fp16 mode because CUDA fp16's 5-bit
+    # exponent overflows on correlation values; bf16 keeps fp32's exponent,
+    # and the measured final-flow drift is 0.005 px mean / 0.02 px max on
+    # ~2.4 px flows (tools/raft_bf16_ab.py) — far below RAFT's own
+    # estimation error. Encoders stay fp32. Ignored in fp32 mode.
+    raft_bf16_refine: bool = True
 
 
 class ProPainterPipeline:
@@ -296,6 +304,17 @@ class ProPainterPipeline:
                 x, self._batch_sharding)
             fmap1, fmap2, net_b, inp_b = map(wsc, (fmap1, fmap2, net_b,
                                                    inp_b))
+        if (self.config.precision == "bf16"
+                and self.config.raft_bf16_refine
+                and jax.default_backend() != "cpu"):
+            # bf16 refinement (see PipelineConfig.raft_bf16_refine): cast
+            # params + features; the coords carry and the convex upsample
+            # stay fp32 inside refine
+            bf = lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+            raft_params, fmap1, fmap2, net_b, inp_b = map(
+                bf, (raft_params, fmap1, fmap2, net_b, inp_b))
         _, flow = self.raft.apply(
             {"params": raft_params}, fmap1, fmap2, net_b, inp_b,
             iters, method="refine")
