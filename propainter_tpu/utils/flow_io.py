@@ -15,14 +15,21 @@ import numpy as np
 _MAGIC = 202021.25
 
 
-def flowread(path: str, quantize: bool = False) -> np.ndarray:
-    """Read a .flo file -> (H, W, 2) float32."""
+def flowread(path: str, quantize: bool | None = None) -> np.ndarray:
+    """Read a .flo file -> (H, W, 2) float32.
+
+    quantize: True = fp16 payload, False = fp32; None (default) detects the
+    payload width from the file size (both variants share the 12-byte
+    header, so the remaining byte count is unambiguous).
+    """
     with open(path, "rb") as f:
         magic = np.frombuffer(f.read(4), np.float32)[0]
         if magic != _MAGIC:
             raise ValueError(f"invalid .flo magic in {path}: {magic}")
         w = int(np.frombuffer(f.read(4), np.int32)[0])
         h = int(np.frombuffer(f.read(4), np.int32)[0])
+        if quantize is None:
+            quantize = os.path.getsize(path) - 12 == h * w * 2 * 2
         if quantize:
             data = np.frombuffer(f.read(h * w * 2 * 2), np.float16)
             flow = data.astype(np.float32)
