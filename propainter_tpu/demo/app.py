@@ -169,6 +169,19 @@ def build_app(facade):
             track_out = gr.Video(label="tracked preview")
             video_out = gr.Video(label="inpainted")
 
+        # bundled example clip (the reference ships inputs/*.mp4 examples
+        # in its gallery, app.py bottom; this repo's committed analogue is
+        # the synthetic fixture clip)
+        import os as _os
+
+        _example = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), "assets", "demo_clip",
+            "clip.mp4")
+        if _os.path.exists(_example):
+            gr.Examples(examples=[[_example]], inputs=[video_in],
+                        label="example clip")
+
         video_in.upload(extract_frames, video_in,
                         [first_frame, status, frame_slider, track_end])
         frame_slider.release(select_template, frame_slider, first_frame)

@@ -49,7 +49,12 @@ def main():
     for i, (f, m) in enumerate(zip(frames, masks)):
         imageio.imwrite(os.path.join(root, "frames", f"{i:05d}.png"), f)
         imageio.imwrite(os.path.join(root, "masks", f"{i:05d}.png"), m)
-    print(f"wrote {len(frames)} frames to {root}")
+    # mp4 variant: the demo app's example-gallery input (gr.Examples takes
+    # a video file, like the reference's bundled inputs/*.mp4)
+    from propainter_tpu.utils.video import write_video
+
+    write_video(frames, os.path.join(root, "clip.mp4"), fps=12)
+    print(f"wrote {len(frames)} frames (+clip.mp4) to {root}")
 
 
 if __name__ == "__main__":
