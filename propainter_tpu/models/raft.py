@@ -85,11 +85,13 @@ class _ConvParams(nn.Module):
 
     in_features: int
     features: int
+    kernel_size: tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, self.in_features, self.features))
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
 
@@ -129,14 +131,26 @@ class SepConvGRU(nn.Module):
 
     @nn.compact
     def __call__(self, h, x):
+        hd = self.hidden_dim
         for suffix, k, p in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
             hx = jnp.concatenate([h, x], -1)
-            z = jax.nn.sigmoid(
-                conv2d(self.hidden_dim, k, 1, p, name=f"convz{suffix}")(hx))
-            r = jax.nn.sigmoid(
-                conv2d(self.hidden_dim, k, 1, p, name=f"convr{suffix}")(hx))
+            # z and r read the same hx: apply both as ONE conv (half the HBM
+            # traffic over hx inside the 20-iter scan body; per-channel dot
+            # products — and therefore numerics — are unchanged). Param tree
+            # stays checkpoint-identical via _ConvParams.
+            kz, bz = _ConvParams(hx.shape[-1], hd, k, name=f"convz{suffix}")()
+            kr, br = _ConvParams(hx.shape[-1], hd, k, name=f"convr{suffix}")()
+            hxp, kz, kr, bz, br = nn.dtypes.promote_dtype(
+                hx, kz, kr, bz, br, dtype=None)
+            zr = jax.lax.conv_general_dilated(
+                hxp, jnp.concatenate([kz, kr], axis=-1), (1, 1),
+                [(p[0], p[0]), (p[1], p[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.concatenate([bz, br])
+            z = jax.nn.sigmoid(zr[..., :hd])
+            r = jax.nn.sigmoid(zr[..., hd:])
             q = jnp.tanh(
-                conv2d(self.hidden_dim, k, 1, p, name=f"convq{suffix}")(
+                conv2d(hd, k, 1, p, name=f"convq{suffix}")(
                     jnp.concatenate([r * h, x], -1)))
             h = (1 - z) * h + z * q
         return h
