@@ -116,15 +116,17 @@ def _make_discriminator(config: PropainterTrainConfig) -> Discriminator:
 
 def init_propainter_state(
     rng, config: PropainterTrainConfig, raft_params, flowcomp_params,
-    sample_shape=(1, 12, 64, 96),
+    sample_shape=(1, 12, 64, 96), gen: InpaintGenerator | None = None,
 ) -> tuple[PropainterTrainState, Any, Any]:
     """Initialize generator/discriminator params and optimizer states.
 
-    sample_shape = (B, T, H, W); T = l_t + n_refs.
+    sample_shape = (B, T, H, W); T = l_t + n_refs. gen overrides the
+    generator architecture (e.g. a reduced-depth model for compile-budgeted
+    sharding dry runs — the train step's DP sharding is depth-blind).
     """
     B, T, H, W = sample_shape
     l_t = config.num_local_frames
-    gen = InpaintGenerator()
+    gen = gen or InpaintGenerator()
     dis = _make_discriminator(config)
     k1, k2 = jax.random.split(rng)
     gen_params = gen.init(
@@ -151,7 +153,7 @@ def init_propainter_state(
 def make_propainter_train_step(
     config: PropainterTrainConfig, g_tx, d_tx,
     raft_iters: int = 20, use_precomputed_flows: bool = False,
-    lpips_params=None,
+    lpips_params=None, gen: InpaintGenerator | None = None,
 ) -> Callable:
     """Build the jittable ProPainter GAN train step.
 
@@ -161,8 +163,9 @@ def make_propainter_train_step(
 
     lpips_params: LPIPSVgg params (required iff perceptual_weight > 0;
     reference core/trainer.py:66-69 builds LPIPSLoss under the same gate).
+    gen must match the architecture used in init_propainter_state.
     """
-    gen = InpaintGenerator()
+    gen = gen or InpaintGenerator()
     dis = _make_discriminator(config)
     raft = RAFT()
     flowcomp = RecurrentFlowCompleteNet()
