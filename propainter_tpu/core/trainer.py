@@ -126,7 +126,7 @@ def init_propainter_state(
     """
     B, T, H, W = sample_shape
     l_t = config.num_local_frames
-    gen = gen or InpaintGenerator()
+    gen = gen or InpaintGenerator(remat=True)
     dis = _make_discriminator(config)
     k1, k2 = jax.random.split(rng)
     gen_params = gen.init(
@@ -165,7 +165,7 @@ def make_propainter_train_step(
     reference core/trainer.py:66-69 builds LPIPSLoss under the same gate).
     gen must match the architecture used in init_propainter_state.
     """
-    gen = gen or InpaintGenerator()
+    gen = gen or InpaintGenerator(remat=True)
     dis = _make_discriminator(config)
     raft = RAFT()
     flowcomp = RecurrentFlowCompleteNet()
@@ -327,7 +327,7 @@ class FlowTrainConfig:
 def init_flow_state(rng, config: FlowTrainConfig, raft_params,
                     sample_shape=(1, 10, 64, 96)):
     B, T, H, W = sample_shape
-    model = RecurrentFlowCompleteNet()
+    model = RecurrentFlowCompleteNet(remat=True)
     params = model.init(
         rng, jnp.zeros((B, T - 1, H, W, 2)), jnp.zeros((B, T - 1, H, W, 1)),
         train=True)["params"]
@@ -342,7 +342,7 @@ def make_flow_train_step(config: FlowTrainConfig, tx, raft_iters: int = 20,
     """Flow-completion train step. Mirrors core/trainer_flow_w_edge.py:276-322."""
     from propainter_tpu.ops.canny import canny_edges
 
-    model = RecurrentFlowCompleteNet()
+    model = RecurrentFlowCompleteNet(remat=True)
     raft = RAFT()
     l_t = config.num_local_frames
 

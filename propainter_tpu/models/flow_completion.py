@@ -115,6 +115,12 @@ class BidirectionalPropagation3D(nn.Module):
     # the 1/8-res grid), so unrolling amortizes loop bookkeeping and lets
     # XLA fuse across consecutive steps
     unroll: int = 1
+    # rematerialize each scan step under differentiation: the deform
+    # alignment's separable-interp matmuls materialize large per-step
+    # temporaries that XLA otherwise saves for the backward pass — at the
+    # reference train config the un-remat'd flow step needs 27.5 GB vs the
+    # v5e's 15.75 GB HBM. Identity for forward-only use (inference).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -124,7 +130,8 @@ class BidirectionalPropagation3D(nn.Module):
 
         def run(name: str, inputs, extra):
             scan = nn.scan(
-                _PropStep,
+                nn.remat(_PropStep, prevent_cse=False)
+                if self.remat else _PropStep,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=0,
@@ -185,6 +192,9 @@ class RecurrentFlowCompleteNet(nn.Module):
     """
 
     scan_unroll: int = 1
+    # rematerialize propagation scan steps under grad (see
+    # BidirectionalPropagation3D.remat); set by the trainer
+    remat: bool = False
 
     @nn.compact
     def __call__(self, masked_flows, masks, train: bool = False):
@@ -209,7 +219,8 @@ class RecurrentFlowCompleteNet(nn.Module):
                               name="mid_dilation_4")(m), 0.2)
 
         prop = BidirectionalPropagation3D(
-            128, unroll=self.scan_unroll, name="feat_prop_module")(m)
+            128, unroll=self.scan_unroll, remat=self.remat,
+            name="feat_prop_module")(m)
         h8, w8 = H // 8, W // 8
         prop = prop.reshape(B * T, h8, w8, 128)
 

@@ -376,6 +376,8 @@ class SparseWindowAttention(nn.Module):
         B, T, H, W, C = x.shape
         if isinstance(frame_select, tuple):
             static_sel, dyn_valid = frame_select
+            # a remat'd caller passes the selection as a hashable tuple
+            static_sel = np.asarray(static_sel, np.bool_)
         else:
             static_sel = np.ones(T, np.bool_)
             dyn_valid = frame_select
@@ -669,6 +671,10 @@ class TemporalSparseTransformerBlock(nn.Module):
     pool_size: tuple[int, int] = (4, 4)
     depths: int = 8
     attention_impl: str = "xla"
+    # rematerialize each block under differentiation (training): only the
+    # block inputs are saved for backward instead of every attention/FFN
+    # intermediate. Identity for inference; param tree unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, fold_x_size, l_mask, t_dilation: int = 2,
@@ -679,19 +685,30 @@ class TemporalSparseTransformerBlock(nn.Module):
         SoftComp folds [:l_t] only). Exact for the kept frames."""
         assert self.depths % t_dilation == 0
         T = x.shape[1]
+        block_cls = TemporalSparseTransformer
+        if self.remat:
+            # the training path passes no per-window dynamics, so the
+            # remaining non-array args can be jax.checkpoint statics
+            # (static_argnums counts self at 0)
+            assert frame_valid is None and masked_windows is None, (
+                "remat supports the training call shape only")
+            block_cls = nn.remat(
+                TemporalSparseTransformer, prevent_cse=False,
+                static_argnums=(2, 4, 5, 6))
         for i in range(self.depths):
             # static temporal dilation pattern (reference gathers T_ind
             # frames, sparse_transformer.py:241-248); the dynamic
             # frame_valid mask (padded refs) rides along separately
             static_sel = np.zeros(T, np.bool_)
             static_sel[i % t_dilation :: t_dilation] = True
-            x = TemporalSparseTransformer(
+            sel = (tuple(map(bool, static_sel)) if self.remat
+                   else static_sel)  # statics must be hashable under remat
+            x = block_cls(
                 self.dim, self.n_head, self.window_size, self.pool_size,
                 self.attention_impl, name=f"transformer_{i}")(
-                    x, fold_x_size, l_mask, (static_sel, frame_valid),
+                    x, fold_x_size, l_mask, (sel, frame_valid),
                     masked_windows,
-                    out_frames=(out_frames if i == self.depths - 1
-                                else None))
+                    (out_frames if i == self.depths - 1 else None))
         return x
 
 
@@ -880,6 +897,10 @@ class FeaturePropagation(nn.Module):
     # scan unroll factor (latency-bound per-step bodies; see PERF.md)
     unroll: int = 1
     warp_impl: str = "packed"
+    # rematerialize scan steps under differentiation (the deform interp
+    # matmuls' per-step temporaries otherwise get saved for backward —
+    # see BidirectionalPropagation3D.remat). Identity for inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, flows_forward, flows_backward, mask):
@@ -889,7 +910,8 @@ class FeaturePropagation(nn.Module):
 
         def run(name, inputs, masks, fp, fc):
             scan = nn.scan(
-                _FeatPropStep,
+                nn.remat(_FeatPropStep, prevent_cse=False)
+                if self.remat else _FeatPropStep,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=0, out_axes=0,
@@ -939,6 +961,10 @@ class InpaintGenerator(nn.Module):
     attention_impl: str = "xla"
     # unroll factor for the feature-propagation scan (pure scheduling knob)
     prop_unroll: int = 1
+    # rematerialize featprop scan steps + each transformer block under
+    # differentiation (training memory; identity at inference). Without it
+    # the reference train config does not fit the v5e's 15.75 GB HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, masked_frames, completed_flows, masks_in,
@@ -1030,7 +1056,8 @@ class InpaintGenerator(nn.Module):
         prop_mask_in = jnp.concatenate(
             [ds_mask_in_local, ds_mask_updated_local], axis=-1)
         local_feat = FeaturePropagation(
-            self.channel, unroll=self.prop_unroll, name="feat_prop_module")(
+            self.channel, unroll=self.prop_unroll, remat=self.remat,
+            name="feat_prop_module")(
                 local_feat, ds_flows_f, ds_flows_b, prop_mask_in)
         enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
 
@@ -1055,7 +1082,7 @@ class InpaintGenerator(nn.Module):
                      else self.attention_impl)
         trans_feat = TemporalSparseTransformerBlock(
             self.hidden, self.num_heads, self.window_size, self.pool_size,
-            self.depths, attn_impl, name="transformers")(
+            self.depths, attn_impl, remat=self.remat, name="transformers")(
                 trans_feat, fold_feat_size, mask_pool_l, t_dilation,
                 frame_valid, masked_windows,
                 out_frames=(None if train or attn_impl == "pallas"
