@@ -146,9 +146,14 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # stats in fp32 regardless of compute dtype: a bf16 spatial mean/var
+        # reduce is not guaranteed to accumulate wide, and variance is
+        # cancellation-prone. No-op (and bitwise identical) for fp32 inputs;
+        # the normalized result is cast back to the input dtype.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 class FrozenBatchNorm(nn.Module):

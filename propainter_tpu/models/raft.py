@@ -287,14 +287,22 @@ class RAFT(nn.Module):
         self.mask_0 = conv2d(256, 3, 1, 1, name="mask_0")
         self.mask_2 = conv2d(64 * 9, 1, 1, 0, name="mask_2")
 
-    def encode(self, images):
+    def encode(self, images, compute_dtype: Any = None):
         """Per-frame features: (N, H, W, 3) -> (fmap, net, inp).
 
         Lets callers encode each unique frame ONCE and index frame pairs —
         the reference (and plain __call__) re-encodes every frame up to 4x
         across the fwd/bwd pair batches (model/modules/flow_comp_raft.py:39-55).
+
+        compute_dtype: conv compute dtype for the encoders. The bf16
+        pipeline passes bfloat16 (with bf16-cast params) so the encoder
+        convs run at MXU bf16 rate; InstanceNorm stats stay fp32 inside.
+        Default fp32 — the reference keeps RAFT fp32 in fp16 mode
+        (inference_propainter.py:311) because CUDA fp16's 5-bit exponent
+        overflows; bf16 keeps fp32's exponent (drift measured in
+        tools/raft_bf16_ab.py).
         """
-        images = images.astype(jnp.float32)
+        images = images.astype(compute_dtype or jnp.float32)
         fmap = self.fnet(images)
         c = self.cnet(images)
         net = jnp.tanh(c[..., : self.hidden_dim])

@@ -203,6 +203,11 @@ class PipelineConfig:
     # ~2.4 px flows (tools/raft_bf16_ab.py) — far below RAFT's own
     # estimation error. Encoders stay fp32. Ignored in fp32 mode.
     raft_bf16_refine: bool = True
+    # bf16 pipeline only: also run the RAFT feature/context ENCODERS in
+    # bf16 (InstanceNorm stats stay fp32 inside the layer). Stacks on top
+    # of raft_bf16_refine; drift measured in tools/raft_bf16_ab.py.
+    # Ignored in fp32 mode.
+    raft_bf16_encode: bool = True
 
 
 class ProPainterPipeline:
@@ -282,8 +287,24 @@ class ProPainterPipeline:
         if self._batch_sharding is not None:
             flat = jax.lax.with_sharding_constraint(flat,
                                                     self._batch_sharding)
-        fmap, net, inp = self.raft.apply(
-            {"params": raft_params}, flat, method="encode")
+        use_bf16 = (self.config.precision == "bf16"
+                    and jax.default_backend() != "cpu")
+        bf = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t)
+        if (use_bf16 and self.config.raft_bf16_encode
+                and self.config.raft_bf16_refine):
+            # (encode casts the WHOLE param tree, so a bf16 encode implies
+            # a bf16 refine — the knob stacks on raft_bf16_refine)
+            # bf16 encoders (see PipelineConfig.raft_bf16_encode): the
+            # params are cast once here; InstanceNorm keeps fp32 stats
+            raft_params = bf(raft_params)
+            fmap, net, inp = self.raft.apply(
+                {"params": raft_params}, flat,
+                compute_dtype=jnp.bfloat16, method="encode")
+        else:
+            fmap, net, inp = self.raft.apply(
+                {"params": raft_params}, flat, method="encode")
 
         def pairs(x):
             x = x.reshape((B, T) + x.shape[1:])
@@ -304,15 +325,11 @@ class ProPainterPipeline:
                 x, self._batch_sharding)
             fmap1, fmap2, net_b, inp_b = map(wsc, (fmap1, fmap2, net_b,
                                                    inp_b))
-        if (self.config.precision == "bf16"
-                and self.config.raft_bf16_refine
-                and jax.default_backend() != "cpu"):
+        if use_bf16 and self.config.raft_bf16_refine:
             # bf16 refinement (see PipelineConfig.raft_bf16_refine): cast
-            # params + features; the coords carry and the convex upsample
-            # stay fp32 inside refine
-            bf = lambda t: jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, t)
+            # params + features (no-ops if the bf16 encode already did);
+            # the coords carry and the convex upsample stay fp32 inside
+            # refine
             raft_params, fmap1, fmap2, net_b, inp_b = map(
                 bf, (raft_params, fmap1, fmap2, net_b, inp_b))
         _, flow = self.raft.apply(

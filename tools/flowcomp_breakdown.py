@@ -105,7 +105,11 @@ def main():
 
     m = jax.random.normal(key, (B, T, 30, 54, 128), DT)
     prop = BidirectionalPropagation3D(128)
-    p_prop = rnd(jax.eval_shape(lambda: prop.init(key, m))["params"], key)
+    # init with fp32 input: fp32 init params + bf16 input would give the
+    # scan a bf16 carry-in but fp32 carry-out (the bench path uses bf16
+    # params everywhere, so this only bites the init here)
+    p_prop = rnd(jax.eval_shape(
+        lambda: prop.init(key, m.astype(jnp.float32)))["params"], key)
     timed("bidirectional prop (2x79-step scan at 30x54x128)",
           lambda p, a: prop.apply({"params": p}, a), p_prop, m)
 
@@ -120,7 +124,8 @@ def main():
     flows = jax.random.normal(key, (B, T, H, W, 2), DT)
     masks = (jax.random.uniform(key, (B, T, H, W, 1)) > 0.8).astype(DT)
     p_net = rnd(jax.eval_shape(
-        lambda: net.init(key, flows, masks))["params"], key)
+        lambda: net.init(key, flows.astype(jnp.float32),
+                         masks.astype(jnp.float32)))["params"], key)
     timed("full net", lambda p, a, b: net.apply({"params": p}, a, b)[0],
           p_net, flows, masks)
 

@@ -44,9 +44,29 @@ def main():
     frames = jnp.asarray(np.stack([base[:, 2 * t: 2 * t + W] * 127
                                    for t in range(T)]))
 
+    cast_bf = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                                     if a.dtype == jnp.float32 else a, t)
+
     enc = jax.jit(lambda p, x: pipe.raft.apply({"params": p}, x,
                                                method="encode"))
-    fmap, net, inp = enc(rp, frames)
+    enc16 = jax.jit(lambda p, x: pipe.raft.apply(
+        {"params": p}, x, compute_dtype=jnp.bfloat16, method="encode"))
+
+    def time_it(name, f, *args, n=3, inner=4):
+        out = f(*args)
+        fence(out)
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                out = f(*args)
+            fence(out)
+            best = min(best, (time.perf_counter() - t0) / inner)
+        print(f"{name}: {best * 1e3:7.1f} ms", flush=True)
+        return out
+
+    fmap, net, inp = time_it("encode(80) fp32", enc, rp, frames)
+    enc16_out = time_it("encode(80) bf16", enc16, cast_bf(rp), frames)
 
     def mkpairs(fmap, net, inp):
         def pairs(x):
@@ -66,13 +86,16 @@ def main():
         return pipe.raft.apply({"params": p}, f1, f2, n, i, 20,
                                method="refine")
 
+    fmap1_e, fmap2_e, net_e, inp_e = jax.jit(mkpairs)(*enc16_out)
+
     outs = {}
-    for mode in ("fp32", "bf16"):
+    for mode in ("fp32", "bf16", "bf16+enc"):
         if mode == "bf16":
-            cast = lambda t: jax.tree.map(lambda a: a.astype(jnp.bfloat16)
-                                          if a.dtype == jnp.float32 else a, t)
-            args = (cast(rp), cast(fmap1), cast(fmap2), cast(net_b),
-                    cast(inp_b))
+            args = (cast_bf(rp), cast_bf(fmap1), cast_bf(fmap2),
+                    cast_bf(net_b), cast_bf(inp_b))
+        elif mode == "bf16+enc":
+            # features straight from the bf16 encoders (already bf16)
+            args = (cast_bf(rp), fmap1_e, fmap2_e, net_e, inp_e)
         else:
             args = (rp, fmap1, fmap2, net_b, inp_b)
         f = jax.jit(refine)
@@ -88,11 +111,12 @@ def main():
         outs[mode] = jax.tree.map(lambda a: np.asarray(a, np.float32), out)
         print(f"refine(20) {mode}: {best * 1e3:7.1f} ms", flush=True)
 
-    fu32, fu16 = outs["fp32"][1], outs["bf16"][1]
+    fu32 = outs["fp32"][1]
     mag = np.abs(fu32).mean()
-    drift = np.abs(fu32 - fu16)
-    print(f"flow_up |mean| {mag:.3f} px; drift mean {drift.mean():.4f} "
-          f"max {drift.max():.3f} px", flush=True)
+    for mode in ("bf16", "bf16+enc"):
+        drift = np.abs(fu32 - outs[mode][1])
+        print(f"[{mode}] flow_up |mean| {mag:.3f} px; drift mean "
+              f"{drift.mean():.4f} max {drift.max():.3f} px", flush=True)
 
 
 if __name__ == "__main__":
