@@ -193,10 +193,13 @@ class SoftComp(nn.Module):
                                 PADDING[1])
         c_out = KERNEL[0] * KERNEL[1] * self.channel
         w, bias = _DenseParams(c_in, c_out, name="embedding")()
+        # accum_dtype=x.dtype: the MXU still accumulates fp32 internally;
+        # this only stores the conv output in the pipeline dtype (the fp32
+        # intermediate was 63 MB/window of pure HBM traffic in bf16 runs).
         feat = fold_dense_conv(
             x.reshape(b * t, fh, fw, c_in), w.astype(x.dtype),
             bias.astype(x.dtype), output_size, KERNEL, STRIDE,
-            PADDING).astype(x.dtype)
+            PADDING, accum_dtype=x.dtype)
         return conv2d(self.channel, 3, 1, 1, name="bias_conv")(feat)
 
 
@@ -225,9 +228,12 @@ class FusionFeedForward(nn.Module):
         fw = unfold_output_size(W, KERNEL[1], STRIDE[1], PADDING[1])
         b, n, c = x.shape
         w1, b1 = _DenseParams(c, self.hidden_dim, name="fc1_0")()
+        # accum_dtype=x.dtype stores fc1's folded output in the pipeline
+        # dtype (MXU accumulation stays fp32 internally); the coverage
+        # division + gelu then run at half the HBM traffic in bf16 runs.
         z = fold_dense_conv(
             x.reshape(-1, fh, fw, c), w1.astype(x.dtype), b1.astype(x.dtype),
-            (H, W), KERNEL, STRIDE, PADDING)
+            (H, W), KERNEL, STRIDE, PADDING, accum_dtype=x.dtype)
         cov = jnp.asarray(
             coverage_count((H, W), KERNEL, STRIDE, PADDING), z.dtype)
         z = jax.nn.gelu(z / cov, approximate=False).astype(x.dtype)

@@ -98,6 +98,7 @@ def modulated_deform_conv2d_mxu(
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     row_chunk: int | None = None,
+    out_fused: bool = True,
 ) -> jnp.ndarray:
     """`modulated_deform_conv2d` with the bilinear gather expressed as
     separable interpolation matmuls (MXU) instead of gathers (slow on TPU).
@@ -114,6 +115,14 @@ def modulated_deform_conv2d_mxu(
     rows are processed in chunks to bound the tmp buffer. stride=1,
     padding=1, dilation=1 (all the reference's deform convs —
     model/propainter.py:34-69, model/recurrent_flow_completion.py:9-44).
+
+    out_fused=True moves the modulation multiply and the (K*C, O)
+    output contraction INSIDE the per-chunk body, with the weight
+    pre-permuted to the interpolation output's natural (dg, K, Cg) channel
+    order: the (B, Ho, Wo, K*C) sampled tensor (~15 MB per featprop step)
+    and its two big layout transposes never exist — only the (B, P, O)
+    chunk outputs leave the loop. Identical math (same contractions,
+    fp reassociation only).
     """
     B, H, W, C = x.shape
     kh, kw, Cw, O = weight.shape
@@ -165,6 +174,44 @@ def modulated_deform_conv2d_mxu(
     sx_c = to_chunks(sx)
 
     x_hw = x_g  # (B*dg, H, W, Cg)
+
+    if out_fused:
+        # mask in chunk layout (n, B, dg, K, P); pad rows like sy/sx
+        # (pad-row outputs are cropped below, value irrelevant)
+        m = mask
+        if pad_rows:
+            m = jnp.pad(m, ((0, 0), (0, pad_rows), (0, 0), (0, 0), (0, 0)))
+        m = m.transpose(1, 0, 3, 4, 2)  # (Ho', B, dg, K, Wo)
+        m = m.reshape(n_chunks, row_chunk, B, dg, K, Wo)
+        m_c = m.transpose(0, 2, 3, 4, 1, 5).reshape(
+            n_chunks, B, dg, K, row_chunk * Wo)
+        # weight in the interpolation output's (g, k, cg) channel order
+        w_gkc = weight.reshape(K, dg, Cg, O).transpose(1, 0, 2, 3)
+
+        def chunk_fused(args):
+            syk, sxk, mk = args  # (BG, K, P), (B, dg, K, P)
+            Sy = jax.nn.relu(1.0 - jnp.abs(syk[..., None] - iot_h))
+            Sx = jax.nn.relu(1.0 - jnp.abs(sxk[..., None] - iot_w))
+            tmp = jnp.einsum(
+                "gkpw,ghwc->gkphc", Sx, x_hw,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            val = jnp.einsum(
+                "gkph,gkphc->gkpc", Sy, tmp,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            val = val.reshape(B, dg, K, -1, Cg) * mk[..., None]
+            # (g k c) contraction straight off the chunk: (B, P, O)
+            return jnp.einsum(
+                "bgkpc,gkco->bpo", val, w_gkc,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+
+        outs = jax.lax.map(chunk_fused, (sy_c, sx_c, m_c))  # (n, B, P, O)
+        outs = outs.reshape(n_chunks, B, row_chunk, Wo, O)
+        out = outs.transpose(1, 0, 2, 3, 4).reshape(B, -1, Wo, O)
+        if pad_rows:
+            out = out[:, :Ho]
+        if bias is not None:
+            out = out + bias
+        return out
 
     def chunk_fn(args):
         syk, sxk = args  # (B*dg, K, P) with P = rc*Wo

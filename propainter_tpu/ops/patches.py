@@ -276,13 +276,23 @@ def coverage_count(output_size, kernel_size, stride, padding) -> np.ndarray:
 
 
 def fold_dense_conv(x, kernel, bias, output_size, kernel_size, stride,
-                    padding, accum_dtype=jnp.float32):
+                    padding, accum_dtype=jnp.float32, impl="dilated"):
     """`fold(x @ kernel + bias)` — a Dense producing C*kh*kw tap channels
     followed by fold — as ONE lhs-dilated (transposed) convolution.
 
     Never materializes the (B, L, C*kh*kw) tap tensor (168 MB for SoftComp at
     inference shapes); the MXU contracts straight from token features to
     pixels. This is the transpose of the im2col identity used by _PatchEmbed.
+
+    impl:
+      'dilated' — one lhs-dilated conv (the default; fastest measured).
+      'phase'   — explicit phase decomposition as ONE stride-1 conv with
+        s*s*C output channels + a depth-to-space. Does (s*ceil(k/s)/k)^2
+        the im2col FLOPs (1.65x at k=7, s=3) at full lane width — but
+        measured SLOWER than 'dilated' on v5e at both hot shapes
+        (2.34 vs 2.26 ms at FusionFFN fc1, 3.25 vs 2.28 at SoftComp;
+        tools/ffn_fold_ab.py, PERF.md). Kept as a documented negative
+        result / CPU-parity-covered alternative lowering.
 
     Args:
       x: (B, Ho, Wo, Cin) token grid.
@@ -292,6 +302,10 @@ def fold_dense_conv(x, kernel, bias, output_size, kernel_size, stride,
     Returns:
       (B, H, W, C) in accum_dtype.
     """
+    if impl == "phase":
+        return _fold_dense_conv_phase(x, kernel, bias, output_size,
+                                      kernel_size, stride, padding,
+                                      accum_dtype)
     B, Ho, Wo, Cin = x.shape
     H, W = output_size
     kh, kw = kernel_size
@@ -309,6 +323,59 @@ def fold_dense_conv(x, kernel, bias, output_size, kernel_size, stride,
     t = jnp.pad(t, ((0, 0), (0, Hp - t.shape[1]), (0, Wp - t.shape[2]),
                     (0, 0)))
     t = t[:, ph : ph + H, pw : pw + W]
+    if bias is not None:
+        ones = jnp.ones((1, Ho, Wo, 1), x.dtype)
+        t = t + fold_dense_conv(ones, bias[None, :], None, output_size,
+                                kernel_size, stride, padding, accum_dtype)
+    return t
+
+
+def _fold_dense_conv_phase(x, kernel, bias, output_size, kernel_size,
+                           stride, padding, accum_dtype=jnp.float32):
+    """Phase-decomposed `fold_dense_conv` (see its docstring).
+
+    The transposed conv's output pixel p = s*U + a (phase a in [0, s))
+    reads token U - d at tap i = s*d + a, d in [0, ceil(k/s)) — so ALL
+    phases together are ONE stride-1 (D, D) conv over the token grid with
+    s*s*C output channels (taps with s*d + a >= k are zero), followed by a
+    depth-to-space interleave. Output matches the dilated path bit-for-bit
+    up to fp tap-summation order.
+    """
+    B, Ho, Wo, Cin = x.shape
+    H, W = output_size
+    kh, kw = kernel_size
+    sh, sw = stride
+    ph, pw = padding
+    C = kernel.shape[1] // (kh * kw)
+    Dh = -(-kh // sh)
+    Dw = -(-kw // sw)
+
+    # phase kernel: Kp[d', e', cin, ((a*sw + b)*C + c)]
+    #   = kernel[cin, c*kh*kw + i*kw + j] at i = sh*(Dh-1-d') + a,
+    #     j = sw*(Dw-1-e') + b (zero where i >= kh or j >= kw).
+    k4 = kernel.reshape(Cin, C, kh, kw)
+    k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, sh * Dh - kh), (0, sw * Dw - kw)))
+    # (Cin, C, Dh, sh, Dw, sw): tap (d, a, e, b)
+    k6 = k4.reshape(Cin, C, Dh, sh, Dw, sw)
+    # -> (d', e', cin, a, b, c) with d' = Dh-1-d (conv correlation order)
+    k6 = k6[:, :, ::-1, :, ::-1, :].transpose(2, 4, 0, 3, 5, 1)
+    kp = k6.reshape(Dh, Dw, Cin, sh * sw * C)
+
+    xp = jnp.pad(x, ((0, 0), (Dh - 1, Dh - 1), (Dw - 1, Dw - 1), (0, 0)))
+    t = jax.lax.conv_general_dilated(
+        xp, kp.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype)
+    U, V = t.shape[1], t.shape[2]  # Ho + Dh - 1, Wo + Dw - 1
+    # depth-to-space: t[B, U, V, (a, b, c)] -> rows s*U + a
+    t = t.reshape(B, U, V, sh, sw, C).transpose(0, 1, 3, 2, 4, 5)
+    t = t.reshape(B, U * sh, V * sw, C)
+    # the dilated path's uncropped extent is (Ho-1)*s + k rows; ours is
+    # s*(Ho + D - 1) >= that, extra rows are zero — crop the same window
+    Hp, Wp = H + 2 * ph, W + 2 * pw
+    t = jnp.pad(t, ((0, 0), (0, max(0, Hp - t.shape[1])),
+                    (0, max(0, Wp - t.shape[2])), (0, 0)))
+    t = t[:, ph: ph + H, pw: pw + W]
     if bias is not None:
         ones = jnp.ones((1, Ho, Wo, 1), x.dtype)
         t = t + fold_dense_conv(ones, bias[None, :], None, output_size,

@@ -315,10 +315,11 @@ class TestDeformMXU:
         bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
 
         ref = np.asarray(modulated_deform_conv2d(x, offset, mask, weight, bias))
-        mxu = np.asarray(
-            modulated_deform_conv2d_mxu(x, offset, mask, weight, bias,
-                                        row_chunk=4))
-        np.testing.assert_allclose(mxu, ref, rtol=2e-4, atol=2e-4)
+        for out_fused in (True, False):
+            mxu = np.asarray(
+                modulated_deform_conv2d_mxu(x, offset, mask, weight, bias,
+                                            row_chunk=4, out_fused=out_fused))
+            np.testing.assert_allclose(mxu, ref, rtol=2e-4, atol=2e-4)
 
 
 class TestDeformBanded:
@@ -409,6 +410,29 @@ class TestPatchConvForms:
             a = np.asarray(fold(y, (H, W), k, s, p))
             b = np.asarray(fold_conv(y, (H, W), k, s, p))
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    def test_fold_dense_conv_impls_match(self, rng):
+        """fold_dense_conv 'dilated' and 'phase' lowerings == fold(x@K + b)."""
+        import jax.numpy as jnp
+        from propainter_tpu.ops.patches import (
+            fold, fold_dense_conv, unfold_output_size)
+
+        for H, W, C, Cin, k, s, p in [
+                (14, 22, 5, 12, (7, 7), (3, 3), (3, 3)),
+                (9, 11, 4, 8, (3, 3), (2, 2), (1, 1))]:
+            Ho = unfold_output_size(H, k[0], s[0], p[0])
+            Wo = unfold_output_size(W, k[1], s[1], p[1])
+            x = jnp.asarray(rng.standard_normal((2, Ho, Wo, Cin)), jnp.float32)
+            kern = jnp.asarray(
+                rng.standard_normal((Cin, C * k[0] * k[1])) * 0.1, jnp.float32)
+            bias = jnp.asarray(
+                rng.standard_normal((C * k[0] * k[1],)), jnp.float32)
+            taps = (x.reshape(2, Ho * Wo, Cin) @ kern + bias)
+            ref = np.asarray(fold(taps, (H, W), k, s, p))
+            for impl in ("dilated", "phase"):
+                got = np.asarray(fold_dense_conv(
+                    x, kern, bias, (H, W), k, s, p, impl=impl))
+                np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 class TestDeformPallas:
