@@ -22,6 +22,7 @@ from propainter_tpu.ops.deform import (
     modulated_deform_conv2d_mxu,
     split_offset_mask_channels,
 )
+from propainter_tpu.ops.deform_pallas import modulated_deform_conv2d_opt2
 from propainter_tpu.ops.interp import resize
 
 
@@ -72,7 +73,8 @@ class SecondOrderDeformableAlignment(nn.Module):
         # valid here since offsets are 5*tanh with no flow term) does ~70x
         # fewer FLOPs but measured 3x SLOWER (PERF.md) — the D^2 shifted-copy
         # stack and tiny-contraction einsums lose to one dense MXU matmul.
-        return modulated_deform_conv2d_mxu(x, offset, mask, kernel, bias)
+        return modulated_deform_conv2d_opt2(x, offset, mask, kernel, bias,
+                                            None)
 
 
 class _PropStep(nn.Module):

@@ -37,6 +37,7 @@ from propainter_tpu.ops.deform import (
     modulated_deform_conv2d_mxu,
     split_offset_mask_channels,
 )
+from propainter_tpu.ops.deform_pallas import modulated_deform_conv2d_opt2
 from propainter_tpu.ops.interp import resize, max_pool2d
 from propainter_tpu.ops.patches import (
     unfold_output_size, fold_dense_conv, coverage_count)
@@ -853,11 +854,11 @@ class DeformableAlignment(nn.Module):
             raw, dg, self.max_residue_magnitude, flow=flow)
         kernel = self.param("kernel", nn.initializers.he_normal(), (3, 3, c, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        # separable-matmul (MXU) formulation — gathers are slow on TPU.
-        # row_chunk=8 measured best at this 60x108 feature size (the
+        # TPU: fully-fused pallas kernel (sampling + output contraction in
+        # VMEM); CPU/backward: separable-matmul (MXU) formulation with
+        # row_chunk=8 (measured best at this 60x108 feature size; the
         # adaptive large-chunk default regresses the generator ~15%)
-        return modulated_deform_conv2d_mxu(x, offset, mask, kernel, bias,
-                                           row_chunk=8)
+        return modulated_deform_conv2d_opt2(x, offset, mask, kernel, bias, 8)
 
 
 class _FeatPropStep(nn.Module):

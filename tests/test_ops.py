@@ -458,6 +458,66 @@ class TestDeformPallas:
                 x, off, msk, wgt, b, interpret=True))
             np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
 
+    def test_fused_out_matches_mxu_interpret(self, rng):
+        """Pallas fully-fused deform (sampling + output contraction in-kernel)
+        == XLA separable-matmul formulation (interpreter mode on CPU)."""
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import modulated_deform_conv2d_mxu
+        from propainter_tpu.ops.deform_pallas import (
+            modulated_deform_conv2d_fused_out)
+
+        for (B, H, W, C, dg, O) in [(1, 12, 20, 32, 4, 48),
+                                    (2, 9, 15, 16, 2, 16)]:
+            x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+            off = jnp.asarray(
+                rng.standard_normal((B, H, W, dg, 9, 2)) * 3, jnp.float32)
+            msk = jnp.asarray(rng.uniform(0, 1, (B, H, W, dg, 9)), jnp.float32)
+            wgt = jnp.asarray(
+                rng.standard_normal((3, 3, C, O)) * 0.05, jnp.float32)
+            b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+            a = np.asarray(modulated_deform_conv2d_mxu(x, off, msk, wgt, b))
+            c = np.asarray(modulated_deform_conv2d_fused_out(
+                x, off, msk, wgt, b, interpret=True))
+            np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
+
+    def test_opt2_dispatcher_grads(self, rng):
+        """modulated_deform_conv2d_opt2 (the dispatcher the models call):
+        values match mxu and gradients flow (custom_vjp linearizes the XLA
+        formulation; row_chunk is a nondiff arg)."""
+        import jax
+        import jax.numpy as jnp
+        from propainter_tpu.ops.deform import modulated_deform_conv2d_mxu
+        from propainter_tpu.ops.deform_pallas import (
+            modulated_deform_conv2d_opt2)
+
+        B, H, W, C, dg, O = 1, 10, 14, 16, 4, 16
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        off = jnp.asarray(
+            rng.standard_normal((B, H, W, dg, 9, 2)) * 2, jnp.float32)
+        msk = jnp.asarray(rng.uniform(0, 1, (B, H, W, dg, 9)), jnp.float32)
+        wgt = jnp.asarray(
+            rng.standard_normal((3, 3, C, O)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+
+        out = modulated_deform_conv2d_opt2(x, off, msk, wgt, b, 4)
+        ref = modulated_deform_conv2d_mxu(x, off, msk, wgt, b, row_chunk=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_opt2(x, off):
+            return jnp.sum(
+                modulated_deform_conv2d_opt2(x, off, msk, wgt, b, 4) ** 2)
+
+        def loss_mxu(x, off):
+            return jnp.sum(modulated_deform_conv2d_mxu(
+                x, off, msk, wgt, b, row_chunk=4) ** 2)
+
+        g_opt = jax.grad(loss_opt2, argnums=(0, 1))(x, off)
+        g_ref = jax.grad(loss_mxu, argnums=(0, 1))(x, off)
+        for a, r in zip(g_opt, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_opt_dispatcher_grads(self, rng):
         """modulated_deform_conv2d_opt: values match mxu and gradients flow
         (custom_vjp linearizes the XLA formulation)."""

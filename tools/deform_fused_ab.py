@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from propainter_tpu.ops.deform import modulated_deform_conv2d_mxu
+from propainter_tpu.ops.deform_pallas import modulated_deform_conv2d_fused_out
 
 N = 16
 DT = jnp.bfloat16
@@ -56,11 +57,14 @@ def case(tag, B, H, W, C, O, rc, with_flow):
     fence(xs)
     print(f"-- {tag}", flush=True)
 
-    for fused in (False, True):
+    for fused in (False, True, "pallas"):
         def f(a, x):
             off = 3.0 * jnp.tanh(x["o"])
             if with_flow:
                 off = off + x["fl"][..., None, None, :]
+            if fused == "pallas":
+                return modulated_deform_conv2d_fused_out(
+                    x["x"], off, jax.nn.sigmoid(x["m"]), a["k"], a["b"])
             return modulated_deform_conv2d_mxu(
                 x["x"], off, jax.nn.sigmoid(x["m"]), a["k"], a["b"],
                 row_chunk=rc, out_fused=fused)
