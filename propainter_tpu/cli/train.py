@@ -37,6 +37,17 @@ def main(argv=None):
                    choices=["cpu", "tpu", "axon"],
                    help="force a jax backend (the image pins "
                         "JAX_PLATFORMS=axon at interpreter start)")
+    # multi-host bootstrap (pod slice / multi-slice). TPU-native analogue of
+    # the reference's DDP env discovery + init_process_group
+    # (/root/reference/core/dist.py:5-47, /root/reference/train.py:41-45).
+    # Default (no flags, no JAX_COORDINATOR_ADDRESS env) = single-process.
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for jax.distributed."
+                        "initialize; also honors JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--local_device_ids", type=str, default=None,
+                   help="comma-separated local device ids for this process")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -49,7 +60,20 @@ def main(argv=None):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from propainter_tpu.parallel.mesh import make_mesh
+    from propainter_tpu.parallel.mesh import (
+        make_mesh, maybe_initialize_distributed)
+
+    distributed = maybe_initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        local_device_ids=args.local_device_ids)
+    if distributed:
+        print(f"jax.distributed initialized: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.local_devices())} local of "
+              f"{len(jax.devices())} global devices", flush=True)
+    is_main = jax.process_index() == 0
     from propainter_tpu.core.dataset import (
         TrainDataset, TrainDatasetConfig, PrefetchLoader)
     from propainter_tpu.checkpoints import TrainCheckpointManager
@@ -70,8 +94,15 @@ def main(argv=None):
     # device count that divides it (reference splits batch over all GPUs,
     # core/trainer.py:47, and asserts divisibility implicitly)
     avail = len(jax.devices())
-    n_dev = next(n for n in range(min(avail, batch_size), 0, -1)
-                 if batch_size % n == 0)
+    if distributed:
+        # multi-host: every process must drive all its local devices — the
+        # mesh spans the full global device list, no truncation
+        assert batch_size % avail == 0, (
+            f"global batch {batch_size} must divide over {avail} devices")
+        n_dev = avail
+    else:
+        n_dev = next(n for n in range(min(avail, batch_size), 0, -1)
+                     if batch_size % n == 0)
     if n_dev != avail:
         print(f"using {n_dev}/{avail} devices (batch {batch_size})")
     mesh = make_mesh(n_dev)
@@ -86,7 +117,13 @@ def main(argv=None):
         load_flow=data_args.get("load_flow", False),
     )
     dataset = TrainDataset(ds_cfg)
-    loader = PrefetchLoader(dataset, batch_size,
+    # multi-process DP: each process loads its slice of the global batch
+    # (the analogue of the reference's DistributedSampler + per-rank batch
+    # split, /root/reference/core/trainer.py:40-47)
+    n_proc = jax.process_count()
+    assert batch_size % n_proc == 0, (
+        f"global batch {batch_size} must divide over {n_proc} processes")
+    loader = PrefetchLoader(dataset, batch_size // n_proc,
                             num_workers=train_args.get("num_workers", 4))
 
     rng = jax.random.PRNGKey(config.get("seed", 2023))
@@ -194,10 +231,20 @@ def main(argv=None):
 
     t0 = time.time()
     start = int(np.asarray(state.step))
+    if distributed:
+        # process-local shard -> global sharded array (each process holds
+        # batch_size/n_proc rows of the 'data'-sharded global batch)
+        def place_batch(batch):
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(x)), batch)
+    else:
+        def place_batch(batch):
+            return jax.tree.map(
+                lambda x: jax.device_put(x, batch_sharding), batch)
+
     for it in range(start, iterations):
-        batch = loader.next()
-        batch = jax.tree.map(
-            lambda x: jax.device_put(x, batch_sharding), batch)
+        batch = place_batch(loader.next())
         with mesh:
             state, metrics, viz = step_fn(state, batch)
         for k, v in metrics.items():
@@ -205,11 +252,12 @@ def main(argv=None):
         if (it + 1) % log_freq == 0:
             m = tb.flush_scalars(it + 1)
             rate = (it + 1 - start) / (time.time() - t0)
-            logging.info("iter %d %s %.2f it/s", it + 1, m, rate)
-            print(f"[{it + 1}/{iterations}] "
-                  f"{ {k: round(v, 4) for k, v in m.items()} } "
-                  f"({rate:.2f} it/s)", flush=True)
-        if (it + 1) % viz_freq == 0:
+            if is_main:  # rank-0 logging, reference core/trainer.py:480-500
+                logging.info("iter %d %s %.2f it/s", it + 1, m, rate)
+                print(f"[{it + 1}/{iterations}] "
+                      f"{ {k: round(v, 4) for k, v in m.items()} } "
+                      f"({rate:.2f} it/s)", flush=True)
+        if (it + 1) % viz_freq == 0 and is_main:
             # image/flow grids (reference core/trainer.py:449-478)
             v = {k: np.asarray(x) for k, x in viz.items()}
             for key in ("comp_local", "masked_local", "gt_local"):
@@ -222,7 +270,7 @@ def main(argv=None):
             if "pred_edge_f" in v:
                 tb.add_images("img/pred_edge_f",
                               np.repeat(v["pred_edge_f"][0], 3, -1), it + 1)
-        if (it + 1) % save_freq == 0:
+        if (it + 1) % save_freq == 0 and is_main:
             ckpt.save(it + 1, jax.device_get(state))
     loader.stop()
     tb.close()

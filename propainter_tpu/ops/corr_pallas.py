@@ -161,7 +161,8 @@ def corr_lookup_flat_moenc(pyramid_flat, coords, w, bias, radius: int = 4,
     return out[:, :P].reshape(B, H, W, -1)
 
 
-def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False):
+def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False,
+                   col_impl="rotate"):
     n_levels = len(level_hw)
     c_refs = refs[:n_levels]
     if moenc:
