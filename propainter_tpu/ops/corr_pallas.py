@@ -120,7 +120,7 @@ def corr_pyramid_flat(fmap1, fmap2, num_levels: int = 4,
 
 
 def corr_lookup_flat(pyramid_flat, coords, radius: int = 4,
-                     block: int = 512, interpret=None):
+                     block: int = 512, interpret=None, col_impl="rotate"):
     """corr_lookup_fused over a corr_pyramid_flat pyramid.
 
     coords: (B, H, W, 2) per-pair pixel coords; returns (B, H, W, C) fp32,
@@ -137,13 +137,15 @@ def corr_lookup_flat(pyramid_flat, coords, radius: int = 4,
         # never touches the volume
         flat = jnp.pad(flat, ((0, 0), (0, Pq - P), (0, 0)))
     out = corr_lookup_fused(pyramid_flat, flat.reshape(1, 1, B * Pq, 2),
-                            radius=radius, block=block, interpret=interpret)
+                            radius=radius, block=block, interpret=interpret,
+                            col_impl=col_impl)
     out = out[0, 0].reshape(B, Pq, -1)
     return out[:, :P].reshape(B, H, W, -1)
 
 
 def corr_lookup_flat_moenc(pyramid_flat, coords, w, bias, radius: int = 4,
-                           block: int = 512, interpret=None):
+                           block: int = 512, interpret=None,
+                           col_impl="rotate"):
     """Flat-layout lookup with the convc1 epilogue fused (see
     corr_lookup_fused's `moenc`): returns relu(corr @ w + b), (B, H, W, F).
     """
@@ -156,7 +158,7 @@ def corr_lookup_flat_moenc(pyramid_flat, coords, w, bias, radius: int = 4,
         flat = jnp.pad(flat, ((0, 0), (0, Pq - P), (0, 0)))
     out = corr_lookup_fused(pyramid_flat, flat.reshape(1, 1, B * Pq, 2),
                             radius=radius, block=block, interpret=interpret,
-                            moenc=(w, bias))
+                            moenc=(w, bias), col_impl=col_impl)
     out = out[0].reshape(B, Pq, -1)
     return out[:, :P].reshape(B, H, W, -1)
 
@@ -222,23 +224,65 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False,
         one = jnp.ones((), cdt)
         row_s = [(rows[j] * (one - fy_c) + rows[j + 1] * fy_c)
                  for j in range(n)]
-        # ---- integer column window: masked sublane reduce (the w dim lives
-        # on sublanes — no cheap per-lane sublane rotate), then lerp.
-        # wsel is ONE-HOT, so the "sum" selects a single element per lane —
-        # exact in any dtype.
-        iwf = jax.lax.broadcasted_iota(jnp.int32, (Wc, NL),
-                                       0).astype(jnp.float32)
-        prev = None
-        vals = []   # channel order: i*n + j (x-major, as corr_lookup_mxu)
-        for ii in range(n + 1):
-            wsel = (iwf == (x0 + (ii - r))).astype(cdt)
-            cols = [jnp.sum(row_s[j] * wsel, axis=0,
-                            keepdims=True).astype(jnp.float32)
-                    for j in range(n)]              # each (1, NL) f32
-            if prev is not None:
-                for j in range(n):
-                    vals.append(prev[j] * (1.0 - fx) + cols[j] * fx)
-            prev = cols
+        if col_impl == "rotate":
+            # ---- integer column window via a per-lane SUBLANE log-shift
+            # rotate of each row-sample slab: zero-pad to
+            # (Wc + 2(n+1), NL), shift each lane's x0-r column to sublane 0
+            # with O(log Wc) conditional static-slice shifts, then slice the
+            # first n+1 sublanes. Replaces the masked one-hot reduce (n+1
+            # full-width multiply-reduces per row sample = ~(n+1)*n*Wc
+            # VPU rows/level) with ~2*Wc rows of selects per slab — the
+            # reduce was the kernel's dominant VPU term. Pure selection:
+            # bitwise-identical values feed the same fp32 column lerp.
+            nw = n + 1
+            # fully out-of-range windows clamp into the zero padding
+            x0c = jnp.clip(x0, -(r + 2.0), Wc + r + 0.0)
+            a = x0c + jnp.float32(nw - r)            # in [0, Wc + nw]
+            exts = [jnp.pad(s, ((nw, nw), (0, 0))) for s in row_s]
+            rem = Wc + nw
+            while rem > 0:
+                b = 1
+                while b * 2 <= rem:
+                    b *= 2
+                cond = a >= b                        # (1, NL)
+                a = jnp.where(cond, a - b, a)
+                rem = b - 1                          # max(b-1, rem-b)
+                outlen = min(exts[0].shape[0], rem + nw)
+                new_exts = []
+                for e in exts:
+                    L = e.shape[0]
+                    if b >= L:
+                        sh = jnp.zeros((outlen, NL), cdt)
+                    else:
+                        sh = e[b : b + outlen]
+                        if b + outlen > L:
+                            sh = jnp.pad(sh, ((0, b + outlen - L), (0, 0)))
+                    new_exts.append(jnp.where(cond, sh, e[:outlen]))
+                exts = new_exts
+            # exts[j][s] = row-sample j at column x0 - r + s (zero outside)
+            lerped = [exts[j][:n].astype(jnp.float32) * (1.0 - fx)
+                      + exts[j][1 : n + 1].astype(jnp.float32) * fx
+                      for j in range(n)]             # each (n, NL) f32
+            # channel order: i*n + j (x-major, as corr_lookup_mxu)
+            vals = [lerped[j][i : i + 1] for i in range(n)
+                    for j in range(n)]
+        else:
+            # ---- integer column window: masked sublane reduce, then lerp.
+            # wsel is ONE-HOT, so the "sum" selects a single element per
+            # lane — exact in any dtype.
+            iwf = jax.lax.broadcasted_iota(jnp.int32, (Wc, NL),
+                                           0).astype(jnp.float32)
+            prev = None
+            vals = []   # channel order: i*n + j (x-major)
+            for ii in range(n + 1):
+                wsel = (iwf == (x0 + (ii - r))).astype(cdt)
+                cols = [jnp.sum(row_s[j] * wsel, axis=0,
+                                keepdims=True).astype(jnp.float32)
+                        for j in range(n)]              # each (1, NL) f32
+                if prev is not None:
+                    for j in range(n):
+                        vals.append(prev[j] * (1.0 - fx) + cols[j] * fx)
+                prev = cols
         if moenc:
             all_vals.extend(vals)
         else:
@@ -260,7 +304,7 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False,
 
 
 def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
-                      interpret=None, moenc=None):
+                      interpret=None, moenc=None, col_impl="rotate"):
     """Windowed correlation lookup from a TRANSPOSED pyramid.
 
     Args:
@@ -270,6 +314,9 @@ def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
         (BasicMotionEncoder.convc1, reference RAFT/update.py:82,92) into the
         kernel epilogue and return (B, H, W, F) query-major, so the window
         tensor never reaches HBM.
+      col_impl: 'rotate' (per-lane sublane log-shift window select — the
+        faster default) or 'reduce' (masked one-hot sublane reduce);
+        bitwise-identical outputs.
     Returns:
       (B, H, W, num_levels*(2r+1)^2) fp32 — identical to corr_lookup_mxu —
       or (B, H, W, F) with moenc.
@@ -314,7 +361,7 @@ def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
     if moenc is None:
         out = pl.pallas_call(
             functools.partial(_lookup_kernel, level_hw=level_hw,
-                              radius=radius),
+                              radius=radius, col_impl=col_impl),
             out_shape=jax.ShapeDtypeStruct((B, C, Pp), jnp.float32),
             grid=(B, nb),
             in_specs=in_specs,
@@ -331,7 +378,7 @@ def corr_lookup_fused(pyramid_t, coords, radius: int = 4, block: int = 512,
     assert w.shape == (C, F) and bias.shape == (F,), (w.shape, bias.shape)
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, level_hw=level_hw, radius=radius,
-                          moenc=True),
+                          moenc=True, col_impl=col_impl),
         out_shape=jax.ShapeDtypeStruct((B, Pp, F), jnp.float32),
         grid=(B, nb),
         in_specs=in_specs + [
