@@ -59,8 +59,21 @@ def _kernel(x_ref, sy_ref, sx_ref, m_ref, out_ref, *, H, W, Cg, K):
 
 
 def _pick_pos_block(P: int) -> int:
+    """Position-block size for the deform kernels' grid.
+
+    Bigger blocks = fewer grid programs (per-program overhead dominates at
+    the small flowcomp/featprop shapes — PERF.md r5 sweep) — so take the
+    whole position axis as ONE block when it fits comfortably in VMEM
+    (the out block is (PB, O) fp32; inputs are tiny), else the least-waste
+    block from the sweep ladder."""
+    import os
+    env = os.environ.get("DEFORM_PB")
+    if env:
+        return int(env)
+    if P <= 8192:
+        return -(-P // 128) * 128
     best = None
-    for pb in (256, 384, 512, 640, 768):
+    for pb in (1024, 1536, 2048, 3072, 4096):
         waste = -(-P // pb) * pb - P
         if best is None or waste <= best[0]:
             best = (waste, pb)

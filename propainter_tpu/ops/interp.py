@@ -87,8 +87,11 @@ def resize(
     elif method == "bilinear" and impl == "mxu":
         my = jnp.asarray(_linear_matrix(H, Ho, align_corners), x.dtype)
         mx = jnp.asarray(_linear_matrix(W, Wo, align_corners), x.dtype)
-        # contract the axis that leaves the smaller intermediate first
-        if Ho * W <= H * Wo:
+        # contract the axis that leaves the smaller intermediate first;
+        # on ties prefer the W-first order — contracting the second-minor
+        # w dim lowers better than the major h dim (2x-upsample shapes:
+        # 14.0 -> 11.1 ms at the flowcomp ups2 stage, tools/resize_form_ab)
+        if Ho * W < H * Wo:
             rows = jnp.einsum("oh,bhwc->bowc", my, xb)
             out = jnp.einsum("pw,bowc->bopc", mx, rows)
         else:
