@@ -149,9 +149,11 @@ def main(argv=None):
             lr=config["trainer"]["lr"])
         state, tx = init_flow_state(rng, tcfg, raft_params,
                                     sample_shape=(1, *sample_shape[1:]))
+        # donate the state: the optimizer/param trees are the step's
+        # largest buffers and the old state is dead after each step
         step_fn = jax.jit(make_flow_train_step(
             tcfg, tx, raft_iters=int(train_args.get("raft_iters", 20)),
-            use_precomputed_flows=ds_cfg.load_flow))
+            use_precomputed_flows=ds_cfg.load_flow), donate_argnums=(0,))
     else:
         from propainter_tpu.core.trainer import (
             PropainterTrainConfig, init_propainter_state,
@@ -192,7 +194,7 @@ def main(argv=None):
             tcfg, g_tx, d_tx,
             raft_iters=int(train_args.get("raft_iters", 20)),
             use_precomputed_flows=ds_cfg.load_flow,
-            lpips_params=lpips_params))
+            lpips_params=lpips_params), donate_argnums=(0,))
 
     # resume
     latest = ckpt.latest_step()

@@ -52,12 +52,13 @@ def _batch(rng, T, with_flows):
 
 def _time_step(name, step_fn, state, batch, n=8):
     t0 = time.perf_counter()
-    state2, metrics, *_ = step_fn(state, batch)
+    s, metrics, *_ = step_fn(state, batch)
     fence(metrics)
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
-        s = state
+        # carry s across rounds: with donate_argnums the previous state's
+        # buffers are consumed, so the original `state` is single-use
         t0 = time.perf_counter()
         for _ in range(n):
             s, metrics, *_ = step_fn(s, batch)
@@ -84,7 +85,7 @@ def bench_gan(rng_np, raft_params):
         jax.random.PRNGKey(0), config, raft_params, fc_params,
         sample_shape=(1, L_T + N_REF, H, W))
     step = jax.jit(make_propainter_train_step(
-        config, g_tx, d_tx, raft_iters=RAFT_ITERS))
+        config, g_tx, d_tx, raft_iters=RAFT_ITERS), donate_argnums=(0,))
     _time_step("gan step (432x240, 10+6f, b=1)", step, state,
                _batch(rng_np, L_T + N_REF, False))
 
@@ -96,7 +97,8 @@ def bench_flow(rng_np, raft_params):
     config = FlowTrainConfig(num_local_frames=L_T)
     state, tx = init_flow_state(jax.random.PRNGKey(0), config, raft_params,
                                 sample_shape=(1, L_T, H, W))
-    step = jax.jit(make_flow_train_step(config, tx, raft_iters=RAFT_ITERS))
+    step = jax.jit(make_flow_train_step(config, tx, raft_iters=RAFT_ITERS),
+                   donate_argnums=(0,))
     _time_step("flow step (432x240, 10f, b=1)", step, state,
                _batch(rng_np, L_T, False))
 
