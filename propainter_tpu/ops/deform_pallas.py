@@ -58,22 +58,25 @@ def _kernel(x_ref, sy_ref, sx_ref, m_ref, out_ref, *, H, W, Cg, K):
         out_ref[0, k] = val.astype(out_ref.dtype)
 
 
-def _pick_pos_block(P: int) -> int:
+def _pick_pos_block(P: int, elt_bytes: int = 2) -> int:
     """Position-block size for the deform kernels' grid.
 
     Bigger blocks = fewer grid programs (per-program overhead dominates at
-    the small flowcomp/featprop shapes — PERF.md r5 sweep) — so take the
-    whole position axis as ONE block when it fits comfortably in VMEM
-    (the out block is (PB, O) fp32; inputs are tiny), else the least-waste
-    block from the sweep ladder."""
+    the small flowcomp/featprop shapes — PERF.md r5 sweep): for bf16
+    inputs take the whole position axis as ONE block when it fits
+    (flowcomp deform 2.37 -> 1.88 ms/call, featprop 2.42 -> 2.21 —
+    tools/deform_pb_sweep.py, verified up to PB=6528). fp32 inputs keep
+    the original least-waste ladder: the fp32 kernel's scoped-VMEM live
+    set blows the 16 MB limit at big blocks (Mosaic stack OOM at PB=6528
+    f32, 41.8 MB — hit by the TRAINING path, which runs fp32)."""
     import os
     env = os.environ.get("DEFORM_PB")
     if env:
         return int(env)
-    if P <= 8192:
+    if elt_bytes <= 2 and P <= 8192:
         return -(-P // 128) * 128
     best = None
-    for pb in (1024, 1536, 2048, 3072, 4096):
+    for pb in (256, 384, 512, 640, 768):
         waste = -(-P // pb) * pb - P
         if best is None or waste <= best[0]:
             best = (waste, pb)
@@ -97,7 +100,7 @@ def deform_sample_pallas(x, sy, sx, mask, dg: int, interpret=None):
     Cg = C // dg
     BG = B * dg
     P = Ho * Wo
-    PB = _pick_pos_block(P)
+    PB = _pick_pos_block(P, jnp.dtype(x.dtype).itemsize)
     n_pb = -(-P // PB)
     Pp = n_pb * PB
 
@@ -226,7 +229,7 @@ def modulated_deform_conv2d_fused_out(x, offset, mask, weight, bias=None,
     assert Koff == K and Ho == H and Wo == W
     Cg = C // dg
     P = Ho * Wo
-    PB = _pick_pos_block(P)
+    PB = _pick_pos_block(P, jnp.dtype(x.dtype).itemsize)
     n_pb = -(-P // PB)
     Pp = n_pb * PB
 
