@@ -197,12 +197,12 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False,
         c = c_refs[l][0]                             # (Hc, Wc, NL)
 
         # ---- integer row window c[y0-r .. y0+r+1] via a per-lane variable
-        # rotate: O(log Hc) conditional shifts along the (unrolled) row dim
-        # instead of (n+1) masked reductions over all Hc rows. Fully
-        # out-of-range centroids are clamped to a window of zero padding.
+        # rotate: O(log Hc) conditional shifts along the (3-D, padded) row
+        # dim instead of (n+1) masked reductions over all Hc rows — each
+        # round is ONE whole-array select rather than per-slab selects.
+        # Fully out-of-range centroids clamp into the zero padding.
         pad = n + 1 + r
-        zero = jnp.zeros((Wc, NL), cdt)
-        ext = [zero] * pad + [c[h] for h in range(Hc)] + [zero] * (n + 2)
+        ext = jnp.pad(c, ((pad, n + 2), (0, 0), (0, 0)))
         y0c = jnp.clip(y0, -(n + 1.0), Hc + r + 1.0)
         a = y0c + jnp.float32(pad - r)              # in [0, amax]
         rem = Hc + pad + 1
@@ -213,12 +213,13 @@ def _lookup_kernel(cy_ref, cx_ref, *refs, level_hw, radius, moenc=False,
             cond = a >= b                            # (1, NL)
             a = jnp.where(cond, a - b, a)
             rem = b - 1                              # max(b-1, rem-b) = b-1
-            outlen = min(len(ext), rem + n + 2)
-            ext = [jnp.where(cond,
-                             ext[h + b] if h + b < len(ext) else zero,
-                             ext[h])
-                   for h in range(outlen)]
-        rows = ext[: n + 1]                          # rows y0-r .. y0+r+1
+            outlen = min(ext.shape[0], rem + n + 2)
+            sh = ext[b : b + outlen]
+            if b + outlen > ext.shape[0]:
+                sh = jnp.pad(
+                    sh, ((0, b + outlen - ext.shape[0]), (0, 0), (0, 0)))
+            ext = jnp.where(cond, sh, ext[:outlen])
+        rows = [ext[j] for j in range(n + 1)]        # rows y0-r .. y0+r+1
         # lerp rows -> n row-samples (native dtype; fy cast once)
         fy_c = fy.astype(cdt)
         one = jnp.ones((), cdt)

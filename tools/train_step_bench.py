@@ -113,10 +113,13 @@ def main():
         jax.random.PRNGKey(2), jnp.zeros((1, 128, 128, 3)),
         jnp.zeros((1, 128, 128, 3)), iters=1)["params"]
 
+    # fresh copies per bench: the donated train state embeds these params,
+    # so stepping deletes the shared buffers
+    copy = lambda t: jax.tree.map(jnp.array, t)
     if which in ("flow", "both"):
-        bench_flow(rng_np, raft_params)
+        bench_flow(rng_np, copy(raft_params))
     if which in ("gan", "both"):
-        bench_gan(rng_np, raft_params)
+        bench_gan(rng_np, copy(raft_params))
 
 
 if __name__ == "__main__":
