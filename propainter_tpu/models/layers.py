@@ -62,6 +62,14 @@ class SplitGroupConv2d(nn.Module):
     kernel_size: tuple[int, int] = (3, 3)
     stride: tuple[int, int] = (1, 1)
     padding: tuple[int, int] = (1, 1)
+    # 'split': g per-group dense convs on the slices (avoids the concat).
+    # 'dense': ONE dense conv over cat(xs) with a block-diagonal-masked
+    #   kernel — g-fold redundant FLOPs, but at full MXU lane width the
+    #   grouped stages' narrow (cin/g, cout/g) contractions underutilize;
+    #   the zero blocks contribute exact 0s so outputs match 'split' up to
+    #   fp32 accumulation order (measured: the win at the encoder fusion
+    #   shapes, tools/enc_opt_ab.py).
+    impl: str = "split"
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
@@ -75,6 +83,22 @@ class SplitGroupConv2d(nn.Module):
             xs[0], kernel, bias, dtype=None)
         cog = self.features // g
         p = self.padding
+        if self.impl == "dense":
+            # scatter the per-group kernel into a block-diagonal dense one:
+            # output group i reads only input slice i of cat(xs)
+            dense_k = jnp.zeros((kh, kw, g * cig, self.features),
+                                kernel.dtype)
+            for i in range(g):
+                dense_k = dense_k.at[
+                    :, :, i * cig:(i + 1) * cig,
+                    i * cog:(i + 1) * cog].set(
+                        kernel[..., i * cog:(i + 1) * cog])
+            cat = jnp.concatenate(
+                [x.astype(x0.dtype) for x in xs], axis=-1)
+            return jax.lax.conv_general_dilated(
+                cat, dense_k, window_strides=self.stride,
+                padding=[(p[0], p[0]), (p[1], p[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
         outs = [
             jax.lax.conv_general_dilated(
                 x.astype(x0.dtype), kernel[..., i * cog:(i + 1) * cog],
@@ -143,6 +167,14 @@ class InstanceNorm(nn.Module):
     """
 
     eps: float = 1e-5
+    # 'two_pass': mean, then E[(x-mean)^2] — torch-faithful, cancellation-
+    #   safe, but three fp32 traversals of the tensor.
+    # 'one_pass': var = E[x^2] - mean^2 with fp32 accumulation — one fewer
+    #   pass over HBM (the norm inputs are post-conv activations with O(1)
+    #   scale, so the cancellation risk that motivates two_pass does not
+    #   bite; measured drift at RAFT fnet shapes < 2e-3 on unit-scale
+    #   activations, tools/enc_opt_ab.py).
+    impl: str = "two_pass"
 
     @nn.compact
     def __call__(self, x):
@@ -152,7 +184,12 @@ class InstanceNorm(nn.Module):
         # the normalized result is cast back to the input dtype.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        if self.impl == "one_pass":
+            var = jnp.mean(jnp.square(xf), axis=(1, 2),
+                           keepdims=True) - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+        else:
+            var = jnp.var(xf, axis=(1, 2), keepdims=True)
         return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 

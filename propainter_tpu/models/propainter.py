@@ -55,6 +55,9 @@ class Encoder(nn.Module):
     """Stride-4 encoder with group-conv fusion stages re-concatenating the
     stage-8 features group-wise. Reference model/propainter.py:193-232."""
 
+    # group-conv lowering for the fusion stages (see SplitGroupConv2d.impl)
+    group_conv_impl: str = "split"
+
     @nn.compact
     def __call__(self, x):
         specs = [
@@ -89,7 +92,9 @@ class Encoder(nn.Module):
                         axis=-1)
                     for j in range(g)
                 ]
-                out = SplitGroupConv2d(feat, name=f"layers_{i}")(parts)
+                out = SplitGroupConv2d(
+                    feat, impl=self.group_conv_impl,
+                    name=f"layers_{i}")(parts)
             else:
                 out = conv2d(feat, 3, stride, 1, name=f"layers_{i}")(out)
             out = leaky_relu(out, 0.2)
