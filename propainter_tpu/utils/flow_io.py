@@ -52,6 +52,86 @@ def flowwrite(flow: np.ndarray, path: str, quantize: bool = False):
             f.write(flow.astype(np.float32).tobytes())
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """Read a PFM file -> (H, W[, 3]) float32 (FlyingThings3D flow stores
+    (u, v, 0) as color PFM). Same format as reference
+    RAFT/utils/frame_utils.py:33-76: 'PF'/'Pf' header, dims line, scale
+    line (sign = endianness), rows bottom-up."""
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            channels = 3
+        elif header == b"Pf":
+            channels = 1
+        else:
+            raise ValueError(f"not a PFM file: {path}")
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.frombuffer(f.read(), dtype=endian + "f4")
+    data = data.reshape(h, w, channels) if channels == 3 else \
+        data.reshape(h, w)
+    return np.flipud(data).astype(np.float32)
+
+
+def write_pfm(arr: np.ndarray, path: str):
+    """Write (H, W) or (H, W, 3) float32 as little-endian PFM."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.asarray(arr, np.float32)
+    header = b"PF" if arr.ndim == 3 else b"Pf"
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{arr.shape[1]} {arr.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.flipud(arr).astype("<f4").tobytes())
+
+
+def read_flow_kitti(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read KITTI sparse flow: 16-bit PNG, channels (v*64+2^15, u*64+2^15,
+    valid) in BGR file order -> ((H, W, 2) float32 flow, (H, W) float32
+    valid). Reference RAFT/utils/frame_utils.py:102-107 semantics."""
+    import cv2
+
+    raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
+    if raw is None:
+        raise FileNotFoundError(path)
+    raw = raw.astype(np.float32)
+    flow = (raw[..., 2:0:-1] - 2 ** 15) / 64.0   # BGR -> (u, v)
+    valid = raw[..., 0]
+    return flow, valid
+
+
+def write_flow_kitti(flow: np.ndarray, path: str,
+                     valid: np.ndarray | None = None):
+    """Write (H, W, 2) flow (+ optional valid mask) as a KITTI 16-bit PNG."""
+    import cv2
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    h, w = flow.shape[:2]
+    if valid is None:
+        valid = np.ones((h, w), np.float32)
+    enc = np.zeros((h, w, 3), np.uint16)
+    q = np.clip(flow * 64.0 + 2 ** 15, 0, 2 ** 16 - 1)
+    enc[..., 2] = q[..., 0]                       # u in the R channel
+    enc[..., 1] = q[..., 1]                       # v in the G channel
+    enc[..., 0] = valid.astype(np.uint16)
+    cv2.imwrite(path, enc)
+
+
+def read_flow_any(path: str):
+    """Dispatch on extension: .flo -> (H, W, 2); .pfm -> first two channels
+    of the color PFM; .png -> KITTI sparse (flow, valid) TUPLE."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".flo":
+        return flowread(path)
+    if ext == ".pfm":
+        return read_pfm(path)[..., :2].copy()
+    if ext == ".png":
+        return read_flow_kitti(path)
+    raise ValueError(f"unknown flow format: {path}")
+
+
 def resize_flow(flow: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     """Resize (H, W, 2) flow to `size`=(H', W'), scaling components.
 

@@ -59,10 +59,12 @@ def main():
         m = BidirectionalPropagation3D(128, unroll=unroll)
         if params is None:
             params = m.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 4, 30, 54, 128), jnp.bfloat16))
+                            jnp.zeros((1, 4, 30, 54, 128), jnp.float32))
+            # the bf16 pipeline casts params to bf16 (pipeline.py)
             params = jax.device_put(jax.tree.map(
                 lambda a: jnp.asarray(
-                    rng.standard_normal(a.shape) * 0.05, a.dtype), params))
+                    rng.standard_normal(a.shape) * 0.05, jnp.bfloat16),
+                params))
         f = jax.jit(lambda p, v, m=m: m.apply(p, v))
         out = timeit(f"bidirectional prop unroll={unroll}", f, params, x)
         got = np.asarray(out, np.float32)
