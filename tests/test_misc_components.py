@@ -85,6 +85,84 @@ def test_file_client(tmp_path):
     fc = FileClient("disk")
     assert fc.get(str(f)) == b"\x01\x02"
     with pytest.raises(ValueError, match="not supported"):
-        FileClient("memcached")
+        FileClient("nosuch")
     with pytest.raises(ImportError, match="lmdb"):
         FileClient("lmdb", db_paths=str(tmp_path))
+
+
+class _FakeMemcached:
+    """Minimal in-process memcached (text protocol get/set) for tests."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.store = {}
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(2)
+        self.port = self.srv.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        buf = b""
+        while True:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while b"\r\n" in buf:
+                line, buf = buf.split(b"\r\n", 1)
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == b"get":
+                    key = parts[1].decode()
+                    if key in self.store:
+                        v = self.store[key]
+                        conn.sendall(
+                            b"VALUE %s 0 %d\r\n%s\r\nEND\r\n"
+                            % (parts[1], len(v), v))
+                    else:
+                        conn.sendall(b"END\r\n")
+                elif parts[0] == b"set":
+                    nbytes = int(parts[4])
+                    while len(buf) < nbytes + 2:
+                        buf += conn.recv(65536)
+                    self.store[parts[1].decode()] = buf[:nbytes]
+                    buf = buf[nbytes + 2:]
+                    conn.sendall(b"STORED\r\n")
+        conn.close()
+
+    def close(self):
+        self.srv.close()
+
+
+def test_memcached_backend(tmp_path):
+    from propainter_tpu.utils.file_client import FileClient
+
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"payload-123")
+    fake = _FakeMemcached()
+    try:
+        fc = FileClient("memcached", server=f"127.0.0.1:{fake.port}")
+        # miss -> disk read + populate
+        assert fc.get(str(f)) == b"payload-123"
+        assert len(fake.store) == 1
+        # hit: served from the cache even after the file changes
+        f.write_bytes(b"changed")
+        assert fc.get(str(f)) == b"payload-123"
+    finally:
+        fake.close()
+
+    # unreachable server degrades to plain disk reads
+    fc2 = FileClient("memcached", server="127.0.0.1:1", timeout=0.2)
+    assert fc2.get(str(f)) == b"changed"
